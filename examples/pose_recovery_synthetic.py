@@ -1,0 +1,93 @@
+"""Drive unopose_tpu.ops end-to-end on the real TPU, as a user would:
+synthetic query/ref clouds with a known relative pose -> FPS (Pallas kernel)
+-> LRF canonicalization -> ball-query grouping -> coarse hypothesis search
+-> fine WSVD refinement -> recovered pose vs ground truth."""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unopose_tpu.ops import (
+    fps, sample_pts_feats, global_lrf, ball_query, query_and_group,
+    compute_coarse_Rt_overlap, compute_fine_Rt_overlap,
+    compute_feature_similarity, aug_pose_noise,
+)
+from unopose_tpu.ops.procrustes import quat_to_rotmat
+
+print("backend:", jax.default_backend(), jax.devices())
+
+rng = np.random.default_rng(42)
+B, N = 4, 2048
+
+# ground-truth relative pose
+q = rng.normal(size=(B, 4)); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+R_gt = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+t_gt = (rng.normal(size=(B, 3)) * 0.3).astype(np.float32)
+
+pts2 = rng.uniform(-1, 1, size=(B, N, 3)).astype(np.float32)  # reference cloud
+pts1 = (np.einsum("bij,bnj->bni", R_gt, pts2) + t_gt[:, None]).astype(np.float32)
+pts1 += 0.002 * rng.normal(size=pts1.shape).astype(np.float32)
+
+pts1j, pts2j = jnp.asarray(pts1), jnp.asarray(pts2)
+
+# 1) Pallas FPS on TPU
+fps196 = jax.jit(lambda p: fps(p, 196))
+t0 = time.perf_counter()
+idx = fps196(pts1j)
+idx.block_until_ready()
+print(f"fps compile+run: {time.perf_counter()-t0:.2f}s, idx[0,:8] = {np.asarray(idx)[0,:8]}")
+t0 = time.perf_counter()
+for _ in range(10):
+    idx = fps196(pts1j)
+idx.block_until_ready()
+print(f"fps steady: {(time.perf_counter()-t0)/10*1e3:.2f} ms/call (B={B}, N={N} -> 196)")
+assert len(set(np.asarray(idx)[0].tolist())) == 196, "FPS must pick distinct points"
+
+# 2) LRF canonicalization
+lrf1 = jax.jit(global_lrf)(pts1j)
+lrf2 = jax.jit(global_lrf)(pts2j)
+a, b = np.asarray(lrf1), np.asarray(lrf2)
+print("LRF invariance across the rigid transform: max dev =",
+      np.abs(np.sort(np.linalg.norm(a, axis=-1), axis=1) - np.sort(np.linalg.norm(b, axis=-1), axis=1)).max())
+
+# 3) ball query + grouping on TPU
+grouped, gidx = jax.jit(lambda a, b: query_and_group(0.1, 64, a, b))(pts1j, pts1j)
+print("grouped:", grouped.shape, "finite:", bool(jnp.isfinite(grouped).all()))
+
+# 4) oracle attention -> coarse + fine solvers (jitted, on TPU)
+atten = np.full((B, N + 1, N + 1), -5.0, np.float32)
+atten[:, 1:, 1:] += 10.0 * np.eye(N, dtype=np.float32)
+score = np.ones((B, 2 * N), np.float32)
+
+coarse = jax.jit(lambda k, a, s, p1, p2: compute_coarse_Rt_overlap(k, a, s, p1, p2, n_proposal1=6000, n_proposal2=300))
+t0 = time.perf_counter()
+Rc, tc, sc = coarse(jax.random.PRNGKey(0), jnp.asarray(atten), jnp.asarray(score), pts1j, pts2j)
+Rc.block_until_ready()
+print(f"coarse solver compile+run: {time.perf_counter()-t0:.2f}s")
+t0 = time.perf_counter()
+Rc, tc, sc = coarse(jax.random.PRNGKey(0), jnp.asarray(atten), jnp.asarray(score), pts1j, pts2j)
+Rc.block_until_ready()
+print(f"coarse solver steady: {(time.perf_counter()-t0)*1e3:.1f} ms (B={B}, 6000 triplets -> 300 -> 1)")
+
+fine = jax.jit(compute_fine_Rt_overlap)
+Rf, tf, sf = fine(jnp.asarray(atten), jnp.asarray(score), pts1j, pts2j)
+Rf.block_until_ready()
+t0 = time.perf_counter()
+Rf, tf, sf = fine(jnp.asarray(atten), jnp.asarray(score), pts1j, pts2j)
+Rf.block_until_ready()
+print(f"fine solver steady: {(time.perf_counter()-t0)*1e3:.1f} ms (2048x2048 assignment)")
+
+for name, R, t in [("coarse", Rc, tc), ("fine", Rf, tf)]:
+    R, t = np.asarray(R), np.asarray(t)
+    cos = np.clip((np.einsum("bij,bij->b", R, R_gt) - 1) / 2, -1, 1)
+    ang = np.degrees(np.arccos(cos))
+    terr = np.linalg.norm(t - t_gt, axis=-1)
+    print(f"{name}: rot err deg = {ang.round(3)}, trans err = {terr.round(4)}, score = {np.asarray(sf if name=='fine' else sc).round(3)}")
+    assert ang.max() < 1.0 and terr.max() < 0.02, f"{name} pose recovery failed"
+
+# 5) probe: degenerate inputs must not NaN on TPU
+z = jnp.zeros((1, N, 3))
+Rz, tz, sz = fine(jnp.zeros((1, N + 1, N + 1)), jnp.zeros((1, 2 * N)), z, z)
+print("degenerate all-zero input -> finite:", bool(jnp.isfinite(Rz).all() and jnp.isfinite(tz).all()))
+
+print("OK: end-to-end pose recovery on", jax.devices()[0])

@@ -1,0 +1,103 @@
+"""End-to-end tests of the coarse/fine pose solvers on synthetic
+correspondences with known ground-truth poses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unopose_tpu.ops.procrustes import quat_to_rotmat
+from unopose_tpu.ops.solver import compute_coarse_Rt_overlap, compute_fine_Rt_overlap
+
+
+def make_pair(rng, B=2, N=60, noise=0.0):
+    """pts2 (source) and pts1 = R pts2 + t (target), plus oracle attention."""
+    q = rng.normal(size=(B, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    t = rng.normal(size=(B, 3)).astype(np.float32) * 0.5
+    pts2 = rng.uniform(-1, 1, size=(B, N, 3)).astype(np.float32)
+    pts1 = np.einsum("bij,bnj->bni", R, pts2) + t[:, None] + noise * rng.normal(size=(B, N, 3))
+    # oracle logits: bg row/col low, diagonal high
+    atten = np.full((B, N + 1, N + 1), -5.0, np.float32)
+    atten[:, 1:, 1:] += 10.0 * np.eye(N)
+    score = np.ones((B, 2 * N), np.float32)
+    return R, t, pts1.astype(np.float32), pts2, atten, score
+
+
+def pose_errors(R, t, R_gt, t_gt):
+    cos = (np.einsum("bij,bij->b", R, R_gt) - 1.0) / 2.0
+    ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+    return ang, np.linalg.norm(t - t_gt, axis=-1)
+
+
+def test_fine_solver_recovers_pose(rng):
+    R_gt, t_gt, pts1, pts2, atten, score = make_pair(rng)
+    R, t, s = compute_fine_Rt_overlap(jnp.asarray(atten), jnp.asarray(score), jnp.asarray(pts1), jnp.asarray(pts2))
+    ang, terr = pose_errors(np.asarray(R), np.asarray(t), R_gt, t_gt)
+    assert ang.max() < 0.5 and terr.max() < 0.01
+    assert (np.asarray(s) > 0.9).all()  # all fg, all inliers
+
+
+def test_fine_solver_score_penalizes_outliers(rng):
+    R_gt, t_gt, pts1, pts2, atten, score = make_pair(rng, B=1, N=60)
+    # corrupt half the target points so they're far from the model
+    pts1_bad = pts1.copy()
+    pts1_bad[:, ::2] += 5.0
+    _, _, s_good = compute_fine_Rt_overlap(jnp.asarray(atten), jnp.asarray(score), jnp.asarray(pts1), jnp.asarray(pts2))
+    _, _, s_bad = compute_fine_Rt_overlap(
+        jnp.asarray(atten), jnp.asarray(score), jnp.asarray(pts1_bad), jnp.asarray(pts2)
+    )
+    assert float(s_bad[0]) < float(s_good[0])
+
+
+def test_coarse_solver_recovers_pose(rng):
+    R_gt, t_gt, pts1, pts2, atten, score = make_pair(rng, B=2, N=50)
+    R, t, s = compute_coarse_Rt_overlap(
+        jax.random.PRNGKey(0),
+        jnp.asarray(atten),
+        jnp.asarray(score),
+        jnp.asarray(pts1),
+        jnp.asarray(pts2),
+        n_proposal1=500,
+        n_proposal2=50,
+        selection_chunks=5,
+    )
+    ang, terr = pose_errors(np.asarray(R), np.asarray(t), R_gt, t_gt)
+    assert ang.max() < 1.0 and terr.max() < 0.02
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_coarse_solver_robust_to_outlier_rows(rng):
+    """Rows marked background (bg argmax) must be excluded from hypotheses."""
+    R_gt, t_gt, pts1, pts2, atten, score = make_pair(rng, B=1, N=50)
+    # make 10 target points outliers and point their attention at bg
+    pts1 = pts1.copy()
+    pts1[:, :10] += 3.0
+    atten[:, 1:11, :] = -5.0
+    atten[:, 1:11, 0] = 10.0  # bg column wins for those rows
+    R, t, _ = compute_coarse_Rt_overlap(
+        jax.random.PRNGKey(1),
+        jnp.asarray(atten),
+        jnp.asarray(score),
+        jnp.asarray(pts1),
+        jnp.asarray(pts2),
+        n_proposal1=500,
+        n_proposal2=50,
+        selection_chunks=5,
+    )
+    ang, terr = pose_errors(np.asarray(R), np.asarray(t), R_gt, t_gt)
+    assert ang.max() < 2.0 and terr.max() < 0.05
+
+
+def test_solvers_jit_compile(rng):
+    R_gt, t_gt, pts1, pts2, atten, score = make_pair(rng, B=1, N=40)
+    f = jax.jit(
+        lambda k, a, s, p1, p2: compute_coarse_Rt_overlap(
+            k, a, s, p1, p2, n_proposal1=100, n_proposal2=20, selection_chunks=4
+        )
+    )
+    R, t, s = f(jax.random.PRNGKey(0), jnp.asarray(atten), jnp.asarray(score), jnp.asarray(pts1), jnp.asarray(pts2))
+    assert R.shape == (1, 3, 3)
+    g = jax.jit(compute_fine_Rt_overlap)
+    R2, t2, s2 = g(jnp.asarray(atten), jnp.asarray(score), jnp.asarray(pts1), jnp.asarray(pts2))
+    assert R2.shape == (1, 3, 3)

@@ -1,0 +1,83 @@
+"""Ball query + grouping for TPU (pure XLA).
+
+Replaces the reference CUDA kernels
+(_ext_src/src/ball_query_gpu.cu:14-49, group_points_gpu.cu) with a masked
+top-k formulation. Reference semantics, reproduced exactly:
+
+  for each query center, scan source points in index order and keep the
+  first <= nsample indices with squared distance < radius^2; the remaining
+  slots are padded with the FIRST in-radius index; centers with no in-radius
+  point keep index 0.
+
+We encode "in-radius, ascending index" as a monotone key and use lax.top_k;
+positions returned by top_k are exactly the sorted original indices.
+Grouping is a batched take_along_axis (scatter-add VJP for free).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from unopose_tpu.ops.geometry import pairwise_sqdist
+
+
+def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Args:
+        radius: ball radius.
+        nsample: max neighbors per ball.
+        xyz: (B, N, 3) source points.
+        new_xyz: (B, P, 3) query centers.
+    Returns:
+        (B, P, nsample) int32 neighbor indices.
+    """
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    N = xyz.shape[1]
+    d2 = pairwise_sqdist(new_xyz, xyz)  # (B, P, N)
+    mask = d2 < radius * radius
+    # keys: in-radius points get (2N - i) in (N, 2N] (descending in index i);
+    # out-of-radius get (N - i) in (0, N]. top_k picks in-radius first, by
+    # ascending original index.
+    iota = jnp.arange(N, dtype=jnp.int32)
+    key = jnp.where(mask, 2 * N - iota, N - iota)
+    _, idx = jax.lax.top_k(key, nsample)  # (B, P, nsample), positions == indices
+    cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)[..., None]  # (B, P, 1)
+    slot = jnp.arange(nsample, dtype=jnp.int32)
+    first = jnp.where(cnt > 0, idx[..., :1], 0)  # first in-radius index or 0
+    idx = jnp.where(slot < cnt, idx, first)
+    return idx.astype(jnp.int32)
+
+
+def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather (B, N, C) features at (B, P, S) indices -> (B, P, S, C)."""
+    B, P, S = idx.shape
+    flat = idx.reshape(B, P * S, 1).astype(jnp.int32)
+    out = jnp.take_along_axis(features, flat, axis=1)
+    return out.reshape(B, P, S, features.shape[-1])
+
+
+def query_and_group(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    features: jnp.ndarray | None = None,
+    use_xyz: bool = True,
+    normalize_xyz: bool = False,
+):
+    """QueryAndGroup (reference pointnet2_utils.py:292-378), channel-last.
+
+    Returns (B, P, S, C') grouped features where C' = 3 (+C if features given
+    and use_xyz) following the reference concat order [rel_xyz, features].
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz)
+    grouped_xyz = group_points(xyz, idx) - new_xyz[..., None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+    if features is not None:
+        grouped_feats = group_points(features, idx)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1), idx
+        return grouped_feats, idx
+    return grouped_xyz, idx

@@ -1,0 +1,142 @@
+"""Furthest point sampling (FPS) for TPU.
+
+Replaces the reference's CUDA kernel
+(core/unopose/model/pointnet2/_ext_src/src/sampling_gpu.cu:74-234) with:
+
+  * ``fps_xla``   — a lax.fori_loop + masked-argmax formulation that runs on
+                    any backend (used for CPU tests and as a fallback), and
+  * ``fps_pallas``— a single Pallas kernel that keeps the whole cloud in VMEM
+                    and runs all ``npoint`` sequential selection steps on-chip
+                    (no per-step XLA loop / dynamic-update-slice overhead).
+
+Semantics match the reference exactly: selection starts at index 0, each step
+updates the running min-distance of every point to the selected set and picks
+the argmax (first occurrence on ties). Returns int32 indices, non-differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e10
+
+
+def fps_xla(pts: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """FPS indices via lax.fori_loop. pts (B, N, 3) -> (B, npoint) int32."""
+    pts = pts.astype(jnp.float32)
+    B, N, _ = pts.shape
+
+    def step(j, carry):
+        mind, idxs, last = carry
+        lastpt = jnp.take_along_axis(pts, last[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((pts - lastpt) ** 2, axis=-1)  # (B,N)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind, axis=-1).astype(jnp.int32)  # (B,)
+        idxs = jax.lax.dynamic_update_index_in_dim(idxs, nxt, j, axis=1)
+        return mind, idxs, nxt
+
+    mind0 = jnp.full((B, N), _BIG, jnp.float32)
+    idxs0 = jnp.zeros((B, npoint), jnp.int32)
+    _, idxs, _ = jax.lax.fori_loop(1, npoint, step, (mind0, idxs0, jnp.zeros((B,), jnp.int32)))
+    return idxs
+
+
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, n: int, npoint: int):
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    out_iota = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+    mind_ref[...] = jnp.full((1, n), _BIG, jnp.float32)
+
+    def body(j, carry):
+        last, out_vec = carry
+        sel = (lane_iota == last).astype(jnp.float32)
+        x1 = jnp.sum(sel * x_ref[0])
+        y1 = jnp.sum(sel * y_ref[0])
+        z1 = jnp.sum(sel * z_ref[0])
+        d = (x_ref[0] - x1) ** 2 + (y_ref[0] - y1) ** 2 + (z_ref[0] - z1) ** 2
+        m = jnp.minimum(mind_ref[...], d)
+        mind_ref[...] = m
+        best = jnp.max(m)
+        # first-occurrence argmax, matching jnp.argmax tie-breaking
+        nxt = jnp.min(jnp.where(m == best, lane_iota, n)).astype(jnp.int32)
+        # scalar stores to VMEM are unsupported: update the carried vector
+        out_vec = jnp.where(out_iota == j, nxt, out_vec)
+        return nxt, out_vec
+
+    _, out_vec = jax.lax.fori_loop(1, npoint, body, (jnp.int32(0), jnp.zeros((1, npoint), jnp.int32)))
+    out_ref[0] = out_vec
+
+
+def fps_pallas(pts: jnp.ndarray, npoint: int, interpret: bool = False) -> jnp.ndarray:
+    """FPS indices via a Pallas TPU kernel. pts (B, N, 3) -> (B, npoint) int32.
+
+    The cloud is split into x/y/z rows so every program works on (1, N)
+    lane-major vectors. N is padded to a multiple of 128 with copies of
+    point 0 — a duplicate of an already-selected point has running
+    min-distance 0 and can never win the argmax, so padding is inert.
+    """
+    pts = pts.astype(jnp.float32)
+    B, N, _ = pts.shape
+    n_pad = (-N) % 128
+    if n_pad:
+        pts = jnp.concatenate([pts, jnp.broadcast_to(pts[:, :1, :], (B, n_pad, 3))], axis=1)
+    n = N + n_pad
+    # (B, 1, n) layout: per-program blocks are (1, 1, n) lane-major rows,
+    # satisfying the (sublane, lane) tiling constraint for any B.
+    x = pts[..., 0][:, None, :]
+    y = pts[..., 1][:, None, :]
+    z = pts[..., 2][:, None, :]
+
+    kernel = functools.partial(_fps_kernel, n=n, npoint=npoint)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+        interpret=interpret,
+    )(x, y, z)
+    return out[:, 0, :]
+
+
+def fps(pts: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Backend-dispatching FPS. Uses the Pallas kernel on TPU, XLA loop elsewhere."""
+    if jax.default_backend() == "tpu":
+        return fps_pallas(pts, npoint)
+    return fps_xla(pts, npoint)
+
+
+def gather_points(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of (B, N, C) at (B, M) indices -> (B, M, C).
+
+    Differentiable counterpart of the reference gather_operation
+    (sampling_gpu.cu:13-62 + scatter-add grad): jnp.take_along_axis carries
+    its own scatter-add VJP.
+    """
+    return jnp.take_along_axis(data, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def sample_pts_feats(pts: jnp.ndarray, feats: jnp.ndarray, npoint: int, return_index: bool = False):
+    """FPS-subsample a cloud and its features (reference model_utils.py:137-153)."""
+    idx = fps(jax.lax.stop_gradient(pts.astype(jnp.float32)), npoint)
+    out_pts = gather_points(pts, idx)
+    out_feats = gather_points(feats, idx)
+    if return_index:
+        return out_pts, out_feats, idx
+    return out_pts, out_feats
+
+
+def sample_pts_feats_wlrf(
+    pts: jnp.ndarray, pts_lrf: jnp.ndarray, feats: jnp.ndarray, npoint: int, return_index: bool = False
+):
+    """FPS-subsample points + their LRF coords + features (reference model_utils.py:156-177)."""
+    idx = fps(jax.lax.stop_gradient(pts.astype(jnp.float32)), npoint)
+    out = (gather_points(pts, idx), gather_points(pts_lrf, idx), gather_points(feats, idx))
+    if return_index:
+        return (*out, idx)
+    return out

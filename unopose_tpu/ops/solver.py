@@ -1,0 +1,169 @@
+"""Soft-correspondence pose solvers (coarse hypothesis search + fine WSVD).
+
+TPU-native counterparts of the reference inference solvers
+(core/unopose/utils/model_utils.py:411-566). Differences by design:
+
+  * RNG is explicit (jax PRNG key) instead of global torch RNG
+    (reference samples hypotheses with torch.rand, model_utils.py:462).
+  * The 6000-triplet SVD batch is solved with the quaternion Kabsch method
+    (ops/procrustes.py) — one fused batch of 4x4 eigenproblems instead of
+    6000 CUDA SVDs.
+  * The O(n_proposal2 * N1 * N2) pose-selection distance is evaluated in
+    chunks via lax.map so the intermediate never exceeds ~100MB.
+
+All shapes are static; everything jits on TPU and CPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from unopose_tpu.ops.geometry import pairwise_sqdist
+from unopose_tpu.ops.procrustes import weighted_procrustes
+
+
+def _dual_softmax_assignment(atten: jnp.ndarray, score: jnp.ndarray, n1: int, n2: int):
+    """Dual-softmax assignment gated by overlap-score outer product.
+
+    atten: (B, n1+1, n2+1) similarity logits incl. bg row/col.
+    score: (B, n1+n2) per-point overlap scores in [0, 1].
+    Returns assignment (B, n1+1, n2+1) and fg weights w1 (B, n1), w2 (B, n2).
+    """
+    B = atten.shape[0]
+    atten = atten.astype(jnp.float32)
+    s1 = jnp.concatenate([jnp.ones((B, 1), jnp.float32), score[:, :n1].astype(jnp.float32)], axis=1)
+    s2 = jnp.concatenate([jnp.ones((B, 1), jnp.float32), score[:, n1:].astype(jnp.float32)], axis=1)
+    pred = jax.nn.softmax(atten, axis=2) * jax.nn.softmax(atten, axis=1)
+    pred = pred * s1[:, :, None] * s2[:, None, :]
+    label1 = jnp.argmax(pred[:, 1:, :], axis=2)  # (B, n1) over n2+1 cols (0 = bg)
+    label2 = jnp.argmax(pred[:, :, 1:], axis=1)  # (B, n2) over n1+1 rows
+    w1 = (label1 > 0).astype(jnp.float32)
+    w2 = (label2 > 0).astype(jnp.float32)
+    return pred, w1, w2, label1, label2
+
+
+def compute_coarse_Rt_overlap(
+    key: jax.Array,
+    atten: jnp.ndarray,
+    score: jnp.ndarray,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    model_pts: jnp.ndarray | None = None,
+    n_proposal1: int = 6000,
+    n_proposal2: int = 300,
+    selection_chunks: int = 10,
+):
+    """RANSAC-like coarse pose hypothesis search (reference model_utils.py:411-490).
+
+    Samples ``n_proposal1`` 3-point correspondence triplets from the
+    score-weighted assignment (cumsum + searchsorted inverse-CDF, exponent
+    1.5), solves a rigid transform per triplet, keeps the ``n_proposal2``
+    with the lowest alignment residual, and picks the hypothesis with the
+    best inlier-weighted score against ``model_pts`` (defaults to pts2).
+
+    Args:
+        atten: (B, N1+1, N2+1) similarity logits.
+        score: (B, N1+N2) overlap scores.
+        pts1: (B, N1, 3) observed/target cloud (normalized units).
+        pts2: (B, N2, 3) reference/source cloud.
+    Returns:
+        R (B, 3, 3), t (B, 3), pose_score (B,) — pose maps pts2 into pts1
+        frame (p1 ~= R p2 + t).
+    """
+    pts1 = pts1.astype(jnp.float32)
+    pts2 = pts2.astype(jnp.float32)
+    B, N1, _ = pts1.shape
+    N2 = pts2.shape[1]
+    if model_pts is None:
+        model_pts = pts2
+
+    pred, w1, w2, _, _ = _dual_softmax_assignment(atten, score, N1, N2)
+    ps = pred[:, 1:, 1:] * w1[:, :, None] * w2[:, None, :]
+    ps = jnp.reshape(ps, (B, N1 * N2)) ** 1.5
+
+    # inverse-CDF sampling of 3 * n_proposal1 correspondences
+    cum = jnp.cumsum(ps, axis=1)
+    cum = cum / (cum[:, -1:] + 1e-8)
+    r = jax.random.uniform(key, (B, n_proposal1 * 3), dtype=jnp.float32)
+    idx = jax.vmap(jnp.searchsorted)(cum, r)  # (B, 3*n_proposal1)
+    idx1 = jnp.minimum(idx // N2, N1 - 1)
+    idx2 = idx % N2
+
+    p1 = jnp.take_along_axis(pts1, idx1[..., None], axis=1).reshape(B * n_proposal1, 3, 3)
+    p2 = jnp.take_along_axis(pts2, idx2[..., None], axis=1).reshape(B * n_proposal1, 3, 3)
+    rs, ts = weighted_procrustes(p2, p1)  # p1 ~= R p2 + t
+    rs = rs.reshape(B, n_proposal1, 3, 3)
+    ts = ts.reshape(B, n_proposal1, 1, 3)
+
+    p1 = p1.reshape(B, n_proposal1, 3, 3)
+    p2 = p2.reshape(B, n_proposal1, 3, 3)
+    resid = jnp.linalg.norm(jnp.matmul(p1 - ts, rs) - p2, axis=3).mean(axis=2)  # (B, P1)
+    _, keep = jax.lax.top_k(-resid, n_proposal2)  # lowest residual
+    rs = jnp.take_along_axis(rs, keep[..., None, None], axis=1)  # (B, P2, 3, 3)
+    ts = jnp.take_along_axis(ts, keep[..., None, None], axis=1)  # (B, P2, 1, 3)
+
+    # hypothesis selection: inlier-weighted mean distance to model points,
+    # chunked over proposals to bound the (B, chunk, N1, N2) intermediate.
+    assert n_proposal2 % selection_chunks == 0, (n_proposal2, selection_chunks)
+    chunk = n_proposal2 // selection_chunks
+    rs_c = rs.reshape(B, selection_chunks, chunk, 3, 3).swapaxes(0, 1)
+    ts_c = ts.reshape(B, selection_chunks, chunk, 1, 3).swapaxes(0, 1)
+
+    def chunk_scores(args):
+        rc, tc = args  # (B, chunk, 3, 3), (B, chunk, 1, 3)
+        tp = jnp.matmul(pts1[:, None] - tc, rc)  # (B, chunk, N1, 3)
+        d = jnp.sqrt(pairwise_sqdist(tp, model_pts[:, None]))  # (B, chunk, N1, N2)
+        d = jnp.min(d, axis=-1)  # (B, chunk, N1)
+        return jnp.sum(w1, axis=1)[:, None] / (jnp.sum(d * w1[:, None], axis=2) + 1e-8)
+
+    scores = jax.lax.map(chunk_scores, (rs_c, ts_c))  # (chunks, B, chunk)
+    scores = jnp.moveaxis(scores, 0, 1).reshape(B, n_proposal2)
+    best = jnp.argmax(scores, axis=1)
+    pose_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    R = jnp.take_along_axis(rs, best[:, None, None, None], axis=1)[:, 0]
+    t = jnp.take_along_axis(ts, best[:, None, None, None], axis=1)[:, 0, 0]
+    return R, t, pose_score
+
+
+def compute_fine_Rt_overlap(
+    atten: jnp.ndarray,
+    score: jnp.ndarray,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    model_pts: jnp.ndarray | None = None,
+    dis_thres: float = 0.15,
+):
+    """Soft-correspondence weighted-SVD fine pose (reference model_utils.py:527-566).
+
+    Builds row-normalized soft target points from the mutually-consistent
+    assignment, solves one weighted Procrustes (weight threshold 0.001), and
+    scores the pose by the fraction of foreground points within ``dis_thres``
+    of the model cloud, damped by the foreground ratio.
+
+    Returns R (B, 3, 3), t (B, 3), pose_score (B,). Like the coarse solver,
+    the pose maps the pts2 frame into the pts1 frame (p1 ~= R p2 + t), so
+    (pts1 - t) @ R aligns with pts2.
+    """
+    pts1 = pts1.astype(jnp.float32)
+    pts2 = pts2.astype(jnp.float32)
+    B, N1, _ = pts1.shape
+    N2 = pts2.shape[1]
+    if model_pts is None:
+        model_pts = pts2
+
+    A, w1, w2, label1, _ = _dual_softmax_assignment(atten, score, N1, N2)
+    A = A[:, 1:, 1:] * w1[:, :, None] * w2[:, None, :]
+    An = A / (jnp.sum(A, axis=2, keepdims=True) + 1e-6)
+    pred_pts = jnp.matmul(An, pts2)  # (B, N1, 3) soft targets in pts2 frame
+    weights = jnp.sum(A, axis=2)
+
+    R, t = weighted_procrustes(pred_pts, pts1, weights, weight_thresh=0.001)
+
+    proj = jnp.matmul(pts1 - t[:, None, :], R)  # back into pts2 frame
+    d = jnp.sqrt(pairwise_sqdist(proj, model_pts)).min(axis=2)  # (B, N1)
+    mask = (label1 > 0).astype(jnp.float32)
+    inlier = (d < dis_thres).astype(jnp.float32)
+    pose_score = jnp.sum(inlier * mask, axis=1) / (jnp.sum(mask, axis=1) + 1e-8)
+    pose_score = pose_score * jnp.mean(mask, axis=1)
+    return R, t, pose_score
