@@ -1,0 +1,129 @@
+"""2D feature extraction + lifting to point clouds.
+
+Flax counterparts of reference oneref_feature_extraction.py:
+  * ViTAE (:45-236): ViT pyramid (4 tapped levels concatenated) + linear
+    upscaling to a dense per-pixel feature map, bilinear-resized to the crop
+    resolution. ``up_type='linear'``: Linear(4D -> 16*out_dim) reshaping each
+    token to a 4x4 feature patch; ``'deconv'``: two stride-2 transposed convs.
+  * ViTEncoderOneRef (:239-298): runs the extractor on the query and the
+    single reference crop, gathers per-point pixel features at the
+    ``rgb_choose`` flat indices, normalizes both clouds by the reference
+    radius, and FPS-subsamples the reference to ``fine_npoint`` points.
+
+Everything is channels-last (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unopose_tpu.models.vit import make_vit
+from unopose_tpu.ops.fps import sample_pts_feats
+
+
+def get_chosen_pixel_feats(feat_map: jnp.ndarray, choose: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-point features from a dense (B, H, W, C) map at flat
+    (B, P) indices into the row-major H*W grid (reference model_utils.py:215-227)."""
+    B, H, W, C = feat_map.shape
+    flat = feat_map.reshape(B, H * W, C)
+    return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32), axis=1)
+
+
+class ViTAE(nn.Module):
+    vit_type: str = "vit_base_patch14_reg4_dinov2"
+    up_type: str = "linear"
+    embed_dim: int = 768
+    out_dim: int = 256
+    use_pyramid_feat: bool = True
+    img_size: int = 224
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, H, W, 3) -> dense feature map (B, H, W, out_dim), cls (B, D)."""
+        B, H, W, _ = x.shape
+        vit = make_vit(self.vit_type, img_size=self.img_size, dtype=self.dtype, name="vit")
+        outs, cls = vit(x)
+        npfx = vit.num_prefix_tokens
+        outs = [o[:, npfx:, :] for o in outs]
+        feat = jnp.concatenate(outs, axis=2) if self.use_pyramid_feat else outs[-1]
+
+        side = vit.grid  # tokens per image side
+        if self.up_type == "linear":
+            up = nn.Dense(16 * self.out_dim, dtype=self.dtype, name="output_upscaling")(feat)
+            up = up.reshape(B, side, side, 4, 4, self.out_dim)
+            up = up.transpose(0, 1, 3, 2, 4, 5).reshape(B, side * 4, side * 4, self.out_dim)
+        elif self.up_type == "deconv":
+            g = feat.reshape(B, side, side, feat.shape[-1])
+            g = nn.ConvTranspose(self.out_dim * 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv1")(g)
+            g = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln")(g).astype(self.dtype)
+            g = nn.gelu(g, approximate=False)
+            up = nn.ConvTranspose(self.out_dim, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv2")(g)
+        else:
+            raise ValueError(self.up_type)
+
+        dense = jax.image.resize(up.astype(jnp.float32), (B, H, W, self.out_dim), method="bilinear")
+        return dense.astype(self.dtype), cls
+
+
+class ViTEncoderOneRef(nn.Module):
+    """Query + one-reference feature lifting (reference :239-298)."""
+
+    npoint: int = 2048  # fine_npoint: reference cloud subsample size
+    vit_type: str = "vit_base_patch14_reg4_dinov2"
+    up_type: str = "linear"
+    embed_dim: int = 768
+    out_dim: int = 256
+    use_pyramid_feat: bool = True
+    img_size: int = 224
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.rgb_net = ViTAE(
+            vit_type=self.vit_type,
+            up_type=self.up_type,
+            embed_dim=self.embed_dim,
+            out_dim=self.out_dim,
+            use_pyramid_feat=self.use_pyramid_feat,
+            img_size=self.img_size,
+            dtype=self.dtype,
+        )
+
+    def get_img_feats(self, img: jnp.ndarray, choose: jnp.ndarray) -> jnp.ndarray:
+        return get_chosen_pixel_feats(self.rgb_net(img)[0], choose)
+
+    def __call__(
+        self,
+        rgb: jnp.ndarray,  # (B, H, W, 3) query crop
+        rgb_choose: jnp.ndarray,  # (B, P1) flat pixel indices of observed points
+        pts: jnp.ndarray,  # (B, P1, 3) observed cloud, camera frame [m]
+        tem1_rgb: Optional[jnp.ndarray] = None,  # (B, H, W, 3) reference crop
+        tem1_choose: Optional[jnp.ndarray] = None,  # (B, P2)
+        tem1_pts: Optional[jnp.ndarray] = None,  # (B, P2, 3)
+        dense_po: Optional[jnp.ndarray] = None,  # precomputed ref cloud (cache path)
+        dense_fo: Optional[jnp.ndarray] = None,  # precomputed ref features
+    ):
+        dense_fm = self.get_img_feats(rgb, rgb_choose)
+        dense_pm = pts
+
+        if dense_po is not None and dense_fo is not None:
+            # onboarding-cache path (reference :252-263): features precomputed
+            mean = jnp.mean(dense_po, axis=1, keepdims=True)
+            radius = jnp.max(jnp.linalg.norm(dense_po - mean, axis=-1), axis=-1)
+            r = radius[:, None, None] + 1e-6
+            return dense_pm / r, dense_fm, dense_po / r, dense_fo, radius
+
+        # normalize both clouds by the reference radius (max dist to centroid)
+        mean = jnp.mean(tem1_pts, axis=1, keepdims=True)
+        radius = jnp.max(jnp.linalg.norm(tem1_pts - mean, axis=-1), axis=-1)
+        r = radius[:, None, None] + 1e-6
+        dense_pm = dense_pm / r
+        tem1_pts = tem1_pts / r
+
+        tem_feat = self.get_img_feats(tem1_rgb, tem1_choose)
+        dense_po, dense_fo = sample_pts_feats(tem1_pts, tem_feat, self.npoint)
+        return dense_pm, dense_fm, dense_po, dense_fo, radius

@@ -1,0 +1,245 @@
+"""UNOPose top-level model: one-reference relative 6DoF pose estimation.
+
+Flax counterpart of reference
+core/unopose/model/oneref_grf_predator_pose_estimation_model.py:11-93:
+feature extraction -> per-cloud global LRF canonicalization -> FPS to
+``coarse_npoint`` sparse nodes (with LRF coords) -> geometric embeddings
+(with a prepended bg point at (1,1,1)) -> coarse matching -> fine matching.
+
+The module is a pure network: ``__call__`` returns the matcher outputs plus
+the geometry needed downstream. The train/infer semantics (pose-noise
+injection, hypothesis solving, losses) live in ``forward_train`` /
+``forward_infer`` below, mirroring the reference's training/eval branches
+(coarse :78-112, fine :101-130) with explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unopose_tpu.losses import compute_overlap_loss
+from unopose_tpu.models.embedding import GeometricStructureEmbedding
+from unopose_tpu.models.feature_extraction import ViTEncoderOneRef
+from unopose_tpu.models.matching import CoarsePointMatching, FinePointMatching
+from unopose_tpu.ops.fps import sample_pts_feats_wlrf
+from unopose_tpu.ops.lrf import global_lrf
+from unopose_tpu.ops.rotation import aug_pose_noise
+from unopose_tpu.ops.solver import compute_coarse_Rt_overlap, compute_fine_Rt_overlap
+from unopose_tpu.utils.config import CN
+
+
+class UNOPose(nn.Module):
+    """Config fields mirror reference configs/main_cfg.py:128-181."""
+
+    coarse_npoint: int = 196
+    fine_npoint: int = 2048
+    use_ref_rad: bool = False
+    test_coarse_only: bool = False
+    feature_extraction: CN = None
+    geo_embedding: CN = None
+    coarse_point_matching: CN = None
+    fine_point_matching: CN = None
+    dtype: Any = jnp.float32
+    backbone_dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def from_config(cls, cfg: CN, dtype=jnp.float32, backbone_dtype=jnp.bfloat16) -> "UNOPose":
+        return cls(
+            coarse_npoint=cfg.coarse_npoint,
+            fine_npoint=cfg.fine_npoint,
+            use_ref_rad=cfg.get("use_ref_rad", False),
+            test_coarse_only=cfg.get("test_coarse_only", False),
+            feature_extraction=CN(cfg.feature_extraction),
+            geo_embedding=CN(cfg.geo_embedding),
+            coarse_point_matching=CN(cfg.coarse_point_matching),
+            fine_point_matching=CN(cfg.fine_point_matching),
+            dtype=dtype,
+            backbone_dtype=backbone_dtype,
+        )
+
+    def setup(self):
+        fe = self.feature_extraction or CN()
+        self.encoder = ViTEncoderOneRef(
+            npoint=self.fine_npoint,
+            vit_type=fe.get("vit_type", "vit_base_patch14_reg4_dinov2"),
+            up_type=fe.get("up_type", "linear"),
+            embed_dim=fe.get("embed_dim", 768),
+            out_dim=fe.get("out_dim", 256),
+            use_pyramid_feat=fe.get("use_pyramid_feat", True),
+            img_size=fe.get("img_size", 224),
+            dtype=self.backbone_dtype,
+        )
+        ge = self.geo_embedding or CN()
+        self.geo_embed = GeometricStructureEmbedding(
+            hidden_dim=ge.get("hidden_dim", 256),
+            sigma_d=ge.get("sigma_d", 0.2),
+            sigma_a=ge.get("sigma_a", 15),
+            angle_k=ge.get("angle_k", 3),
+            reduction_a=ge.get("reduction_a", "max"),
+            dtype=self.dtype,
+        )
+        cm = self.coarse_point_matching or CN()
+        self.coarse_matching = CoarsePointMatching(
+            nblock=cm.get("nblock", 3),
+            input_dim=cm.get("input_dim", 256),
+            hidden_dim=cm.get("hidden_dim", 256),
+            out_dim=cm.get("out_dim", 256),
+            temp=cm.get("temp", 0.1),
+            sim_type=cm.get("sim_type", "cosine"),
+            normalize_feat=cm.get("normalize_feat", True),
+            dtype=self.dtype,
+        )
+        fm = self.fine_point_matching or CN()
+        self.fine_matching = FinePointMatching(
+            nblock=fm.get("nblock", 3),
+            input_dim=fm.get("input_dim", 256),
+            hidden_dim=fm.get("hidden_dim", 256),
+            out_dim=fm.get("out_dim", 256),
+            temp=fm.get("temp", 0.1),
+            sim_type=fm.get("sim_type", "cosine"),
+            normalize_feat=fm.get("normalize_feat", True),
+            focusing_factor=fm.get("focusing_factor", 3),
+            pe_radius1=fm.get("pe_radius1", 0.1),
+            pe_radius2=fm.get("pe_radius2", 0.2),
+            nsample1=fm.get("nsample1", 64),
+            nsample2=fm.get("nsample2", 256),
+            use_lrf=fm.get("use_lrf", True),
+            use_xyz=fm.get("use_xyz", True),
+            dtype=self.dtype,
+        )
+
+    def _lrf(self, pts: jnp.ndarray) -> jnp.ndarray:
+        """Global LRF canonicalization (reference model :78-93)."""
+        if self.use_ref_rad:
+            return global_lrf(pts, jnp.ones(pts.shape[0], jnp.float32))
+        return global_lrf(pts)
+
+    def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Pure network pass; the train/eval pose logic lives in the wrappers.
+
+        inputs: rgb (B,H,W,3), rgb_choose (B,P1), pts (B,P1,3),
+                tem1_rgb/tem1_choose/tem1_pts (or dense_po/dense_fo cache);
+                train additionally: rotation_label (B,3,3),
+                translation_label (B,3).
+        """
+        dense_pm, dense_fm, dense_po, dense_fo, radius = self.encoder(
+            inputs["rgb"],
+            inputs["rgb_choose"],
+            inputs["pts"],
+            inputs.get("tem1_rgb"),
+            inputs.get("tem1_choose"),
+            inputs.get("tem1_pts"),
+            inputs.get("dense_po"),
+            inputs.get("dense_fo"),
+        )
+        dense_fm = dense_fm.astype(self.dtype)
+        dense_fo = dense_fo.astype(self.dtype)
+
+        # LRF coords computed on the raw (unnormalized) clouds — the LRF has
+        # its own radius normalization (reference model :29-30, :78-93)
+        dense_pm_lrf = self._lrf(inputs["pts"])
+        dense_po_lrf = self._lrf(inputs["tem1_pts"]) if inputs.get("tem1_pts") is not None else self._lrf(dense_po)
+
+        B = dense_pm.shape[0]
+        bg_point = jnp.ones((B, 1, 3), jnp.float32)
+
+        sparse_pm, sparse_pm_lrf, sparse_fm, fps_idx_m = sample_pts_feats_wlrf(
+            dense_pm, dense_pm_lrf, dense_fm, self.coarse_npoint, return_index=True
+        )
+        geo_m = self.geo_embed(jnp.concatenate([bg_point, sparse_pm_lrf], axis=1))
+        sparse_po, sparse_po_lrf, sparse_fo, fps_idx_o = sample_pts_feats_wlrf(
+            dense_po, dense_po_lrf, dense_fo, self.coarse_npoint, return_index=True
+        )
+        geo_o = self.geo_embed(jnp.concatenate([bg_point, sparse_po_lrf], axis=1))
+
+        c_attens, c_scores, c_sals = self.coarse_matching(sparse_fm, geo_m, sparse_fo, geo_o, all_blocks=train)
+
+        out = dict(
+            radius=radius,
+            dense_pm=dense_pm,
+            dense_po=dense_po,
+            sparse_pm=sparse_pm,
+            sparse_po=sparse_po,
+            coarse_attens=c_attens,
+            coarse_scores=c_scores,
+            coarse_saliencies=c_sals,
+        )
+
+        if train:
+            gt_r = inputs["rotation_label"].astype(jnp.float32)
+            gt_t = inputs["translation_label"].astype(jnp.float32) / (radius[:, None] + 1e-6)
+            init_R, init_t = aug_pose_noise(self.make_rng("sample"), gt_r, gt_t)
+        else:
+            cpm = self.coarse_point_matching or CN()
+            init_R, init_t, init_score = compute_coarse_Rt_overlap(
+                self.make_rng("sample"),
+                c_attens[-1],
+                c_scores[-1],
+                sparse_pm,
+                sparse_po,
+                None,
+                cpm.get("nproposal1", 6000),
+                cpm.get("nproposal2", 300),
+            )
+            out["init_pose_score"] = init_score
+        out["init_R"] = init_R
+        out["init_t"] = init_t
+
+        if not train and self.test_coarse_only:
+            out["pred_R"] = init_R
+            out["pred_t"] = init_t * (radius[:, None] + 1e-6)
+            out["pred_pose_score"] = out["init_pose_score"]
+            return out
+
+        f_attens, f_scores, f_sals = self.fine_matching(
+            dense_pm, dense_fm, geo_m, fps_idx_m, dense_po, dense_fo, geo_o, fps_idx_o, init_R, init_t, train=train
+        )
+        out.update(fine_attens=f_attens, fine_scores=f_scores, fine_saliencies=f_sals)
+
+        if not train:
+            pred_R, pred_t, pred_score = compute_fine_Rt_overlap(f_attens[-1], f_scores[-1], dense_pm, dense_po, None)
+            out["pred_R"] = pred_R
+            out["pred_t"] = pred_t * (radius[:, None] + 1e-6)
+            out["pred_pose_score"] = pred_score
+        return out
+
+
+def compute_train_losses(outputs: Dict[str, jnp.ndarray], inputs: Dict[str, jnp.ndarray], cfg: CN) -> Dict[str, jnp.ndarray]:
+    """Per-sample loss terms for both stages (reference coarse :78-97, fine :101-117)."""
+    radius = outputs["radius"]
+    gt_r = inputs["rotation_label"].astype(jnp.float32)
+    gt_t = inputs["translation_label"].astype(jnp.float32) / (radius[:, None] + 1e-6)
+
+    cm = cfg.coarse_point_matching
+    terms = compute_overlap_loss(
+        outputs["coarse_attens"],
+        outputs["coarse_scores"],
+        outputs["coarse_saliencies"],
+        outputs["sparse_pm"],
+        outputs["sparse_po"],
+        gt_r,
+        gt_t,
+        predator_thres=cm.get("loss_predator_thres", 0.15),
+        dis_thres=cm.get("loss_dis_thres", 0.3),
+        loss_str="coarse_hard",
+    )
+    fm = cfg.fine_point_matching
+    terms.update(
+        compute_overlap_loss(
+            outputs["fine_attens"],
+            outputs["fine_scores"],
+            outputs["fine_saliencies"],
+            outputs["dense_pm"],
+            outputs["dense_po"],
+            gt_r,
+            gt_t,
+            predator_thres=fm.get("loss_predator_thres", 0.15),
+            dis_thres=fm.get("loss_dis_thres", 0.3),
+            loss_str="fine",
+        )
+    )
+    return terms

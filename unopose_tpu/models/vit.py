@@ -1,0 +1,158 @@
+"""DINOv2-style Vision Transformer backbone (flax, channels-last, bf16-ready).
+
+Rebuilt for TPU from the capability spec of the reference backbone
+(core/unopose/model/oneref_feature_extraction.py:24-42 — a timm
+VisionTransformer whose forward taps ``norm(x)`` at 4 pyramid depths
+{d-1, d-n-1, d-2n-1, d-3n-1}, n = d//4). Supports the reference's
+variants: reg_tokens (DINOv2 register tokens), no_embed_class (pos embed
+on patch tokens only), LayerScale init_values, LN eps 1e-6.
+
+The patch embedding is expressed as reshape + one big matmul (instead of a
+conv) so it lands on the MXU as a single (B*T, P*P*3) x (P*P*3, D) GEMM.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm block with optional LayerScale (timm `Block` semantics)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    init_values: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        B, N, _ = q.shape
+        hd = self.dim // self.num_heads
+        q = q.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhnc,bhmc->bhnm", q, k) / hd**0.5
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmc->bhnc", attn, v).transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="attn_proj")(out)
+        if self.init_values is not None:
+            ls1 = self.param("ls1", nn.initializers.constant(self.init_values), (self.dim,))
+            out = out * ls1.astype(self.dtype)
+        x = x + out
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h)
+        if self.init_values is not None:
+            ls2 = self.param("ls2", nn.initializers.constant(self.init_values), (self.dim,))
+            h = h * ls2.astype(self.dtype)
+        return x + h
+
+
+class ViTPyramid(nn.Module):
+    """ViT returning ``norm(x)`` at 4 evenly spaced depths + the final cls token.
+
+    Input images are channels-last (B, H, W, 3).
+    """
+
+    img_size: int = 224
+    patch_size: int = 14
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    init_values: Optional[float] = 1e-5
+    reg_tokens: int = 4
+    no_embed_class: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return 1 + self.reg_tokens
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+        B, H, W, _ = x.shape
+        g, P, D = self.grid, self.patch_size, self.embed_dim
+        assert H == W == self.img_size, (H, W, self.img_size)
+
+        # patchify as one GEMM: (B, g, P, g, P, 3) -> (B, g*g, P*P*3) @ (P*P*3, D)
+        patches = x.reshape(B, g, P, g, P, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, P * P * 3)
+        tokens = nn.Dense(D, dtype=self.dtype, name="patch_embed")(patches.astype(self.dtype))
+
+        pos_embed = self.param("pos_embed", nn.initializers.normal(0.02), (1, g * g, D))
+        cls_token = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, D))
+        prefix = [jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))]
+        if self.reg_tokens:
+            reg_token = self.param("reg_token", nn.initializers.normal(0.02), (1, self.reg_tokens, D))
+            prefix.append(jnp.broadcast_to(reg_token.astype(self.dtype), (B, self.reg_tokens, D)))
+
+        if self.no_embed_class:
+            tokens = tokens + pos_embed.astype(self.dtype)
+            tokens = jnp.concatenate(prefix + [tokens], axis=1)
+        else:
+            # pos embed covers prefix tokens too (non-reg4 variants)
+            pos_full = self.param("pos_embed_prefix", nn.initializers.normal(0.02), (1, self.num_prefix_tokens, D))
+            tokens = jnp.concatenate(prefix + [tokens], axis=1)
+            tokens = tokens + jnp.concatenate([pos_full, pos_embed], axis=1).astype(self.dtype)
+
+        norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
+        n = self.depth // 4
+        taps = {self.depth - 1 - i * n for i in range(4)}  # e.g. {11, 8, 5, 2} at depth 12
+        outs: List[jnp.ndarray] = []
+        for i in range(self.depth):
+            tokens = ViTBlock(
+                D, self.num_heads, self.mlp_ratio, self.init_values, dtype=self.dtype, name=f"block{i}"
+            )(tokens)
+            if i in taps:
+                outs.append(norm(tokens).astype(self.dtype))
+        # order shallow -> deep, matching the reference's enumeration order
+        cls = outs[-1][:, 0, :]
+        return outs, cls
+
+
+VIT_VARIANTS = {
+    # mirrors the variant table in reference oneref_feature_extraction.py:67-152
+    "vit_base": dict(embed_dim=768, depth=12, num_heads=12, init_values=None, reg_tokens=0, no_embed_class=False, patch_size=16),
+    "vit_large": dict(embed_dim=1024, depth=24, num_heads=16, init_values=None, reg_tokens=0, no_embed_class=False, patch_size=16),
+    "vit_small_patch14_dinov2": dict(embed_dim=384, depth=12, num_heads=6, init_values=1e-5, reg_tokens=0, no_embed_class=False, patch_size=14),
+    "vit_base_patch14_dinov2": dict(embed_dim=768, depth=12, num_heads=12, init_values=1e-5, reg_tokens=0, no_embed_class=False, patch_size=14),
+    "vit_large_patch14_dinov2": dict(embed_dim=1024, depth=24, num_heads=16, init_values=1e-5, reg_tokens=0, no_embed_class=False, patch_size=14),
+    "vit_small_patch14_reg4_dinov2": dict(embed_dim=384, depth=12, num_heads=6, init_values=1e-5, reg_tokens=4, no_embed_class=True, patch_size=14),
+    "vit_base_patch14_reg4_dinov2": dict(embed_dim=768, depth=12, num_heads=12, init_values=1e-5, reg_tokens=4, no_embed_class=True, patch_size=14),
+    "vit_large_patch14_reg4_dinov2": dict(embed_dim=1024, depth=24, num_heads=16, init_values=1e-5, reg_tokens=4, no_embed_class=True, patch_size=14),
+    # tiny variant for CPU tests / multi-chip dry runs (same code path as reg4)
+    "vit_tiny_test": dict(embed_dim=32, depth=4, num_heads=2, init_values=1e-5, reg_tokens=4, no_embed_class=True, patch_size=14),
+}
+
+
+def make_vit(vit_type: str, img_size: int = 224, dtype: jnp.dtype = jnp.float32, **overrides) -> ViTPyramid:
+    if vit_type not in VIT_VARIANTS:
+        raise ValueError(f"unknown vit_type {vit_type}; known: {sorted(VIT_VARIANTS)}")
+    kw = dict(VIT_VARIANTS[vit_type])
+    kw.update(overrides)
+    return ViTPyramid(img_size=img_size, dtype=dtype, **kw)
