@@ -1,0 +1,102 @@
+"""Flagship benchmark: query-reference pairs/sec for full UNOPose inference
+on one TPU chip.
+
+Measures the complete per-pair inference path the reference times into the
+BOP CSV (oneref_inference_utils_v1.py:81-109): both ViT-B/14 forwards
+(query + reference crop), feature lifting, FPS, LRF, geometric embeddings,
+coarse matching + 6000-hypothesis search, fine matching + WSVD — at the
+reference's instance batch size of 16 (configs/main_cfg.py:92).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against an estimated A100 PyTorch reference
+throughput (no number is published in the reference repo — BASELINE.md):
+~120 pairs/s from 2x ViT-B fp32 forwards + matcher + solver per 16-pair
+batch. The >=5x target from BASELINE.json corresponds to vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import os.path as osp
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np
+
+A100_REFERENCE_PAIRS_PER_SEC = 120.0  # estimated; see module docstring
+BATCH = 16
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the full-model compile is minutes over the
+    # axon tunnel; cached reruns start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/unopose_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _full_inputs
+    from unopose_tpu.configs.main_cfg import get_cfg
+    from unopose_tpu.models import UNOPose
+
+    cfg = get_cfg()
+    model = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    inputs = _full_inputs(rng, B=BATCH)
+
+    print(f"backend: {jax.default_backend()} devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.perf_counter()
+    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, inputs, train=False)
+    print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def infer(variables, inputs, key):
+        return model.apply(variables, inputs, train=False, rngs={"sample": key}, mutable=False)
+
+    key = jax.random.PRNGKey(2)
+    t0 = time.perf_counter()
+    out = infer(variables, inputs, key)
+    _ = float(out["pred_t"][0, 0])  # force execution: block_until_ready does
+    # not actually block on the axon relay backend
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    def run_chained(n, key):
+        # chain iterations through a zero-valued data dependency so the
+        # device executes all n sequentially; one final readback fences.
+        local = dict(inputs)
+        for i in range(n):
+            key = jax.random.fold_in(key, i)
+            out = infer(variables, local, key)
+            local["pts"] = inputs["pts"] + out["pred_t"][:1, :1] * 0.0
+        return float(out["pred_t"][0, 0]), out
+
+    run_chained(WARMUP, jax.random.PRNGKey(3))
+    t0 = time.perf_counter()
+    _, out = run_chained(ITERS, jax.random.PRNGKey(4))
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = BATCH * ITERS / dt
+    print(
+        f"steady: {dt / ITERS * 1e3:.1f} ms / {BATCH}-pair batch "
+        f"(pred_R finite: {bool(jnp.isfinite(out['pred_R']).all())})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "query_ref_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / A100_REFERENCE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

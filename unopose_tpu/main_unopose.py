@@ -1,0 +1,124 @@
+"""CLI launcher — counterpart of reference core/unopose/main_unopose.py.
+
+    python -m unopose_tpu.main_unopose --config <module:fn> [--eval-only]
+        [--synthetic-data] [key=value ...]
+
+Loads the config (default unopose_tpu.configs.main_cfg:get_cfg), applies
+dotted CLI overrides, builds the model, and runs training (engine/train.py)
+or evaluation-and-save (engine/inference.py). Multi-host: call
+``jax.distributed.initialize()`` automatically when JAX_COORDINATOR_ADDRESS
+is set; each process loads its slice of the global batch."""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import os.path as osp
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="unopose_tpu launcher")
+    p.add_argument("--config", default="unopose_tpu.configs.main_cfg:get_cfg")
+    p.add_argument("--eval-only", action="store_true", help="run inference + save BOP CSV only")
+    p.add_argument("--synthetic-data", action="store_true", help="train on the synthetic in-memory pipeline")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("opts", nargs="*", help="dotted config overrides key=value")
+    return p.parse_args(argv)
+
+
+def load_cfg(spec: str):
+    mod_name, _, fn_name = spec.partition(":")
+    mod = importlib.import_module(mod_name)
+    return getattr(mod, fn_name or "get_cfg")()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_cfg(args.config).apply_overrides(args.opts)
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+
+    from unopose_tpu.models import UNOPose
+    from unopose_tpu.parallel.mesh import is_main_process, make_mesh
+    from unopose_tpu.utils.writer import ConsolePrinter, JSONWriter, MultiWriter, setup_logger
+
+    out_dir = cfg.misc.output_dir
+    logger = setup_logger(out_dir if is_main_process() else None, rank=jax.process_index())
+    logger.info("config: %s", cfg.flatten())
+
+    dtype = jnp.float32 if cfg.train.get("matcher_dtype", "float32") == "float32" else jnp.bfloat16
+    bdtype = jnp.bfloat16 if cfg.train.get("backbone_dtype", "bfloat16") == "bfloat16" else jnp.float32
+    model = UNOPose.from_config(cfg.model, dtype=dtype, backbone_dtype=bdtype)
+
+    if args.eval_only:
+        run_eval(model, cfg, out_dir)
+        return
+
+    from unopose_tpu.data.loader import synthetic_train_iter, train_loader
+    from unopose_tpu.engine.train import train_loop
+    from unopose_tpu.utils.checkpoint import Checkpointer
+
+    mesh = make_mesh(args.num_devices)
+    if args.synthetic_data:
+        data_iter = synthetic_train_iter(
+            cfg.misc.train_batch_size,
+            img_size=cfg.dataloader.train.img_size,
+            n_pts=cfg.dataloader.train.n_sample_observed_point,
+            n_tem=cfg.dataloader.train.n_sample_template_point,
+        )
+    else:
+        from unopose_tpu.data.dataset_train import DatasetPoseFreeOneRef
+
+        dataset = DatasetPoseFreeOneRef(cfg.dataloader.train, seed=cfg.train.seed + jax.process_index())
+        data_iter = train_loader(
+            dataset,
+            cfg.misc.train_batch_size // jax.process_count(),
+            num_workers=cfg.dataloader.train.get("num_workers", 8),
+            seed=cfg.train.seed,
+        )
+
+    ckpt = Checkpointer(
+        osp.join(out_dir, "ckpt"),
+        max_to_keep=cfg.train.checkpointer.max_to_keep,
+        period=cfg.train.checkpointer.period,
+    )
+    writer = MultiWriter(ConsolePrinter(cfg.train.max_iter), JSONWriter(osp.join(out_dir, "metrics.json")))
+    train_loop(model, cfg, data_iter, mesh=mesh, writer=writer, checkpointer=ckpt)
+
+
+def run_eval(model, cfg, out_dir):
+    import jax
+
+    from unopose_tpu.data.dataset_test import BOPTestsetPoseFreeOneRef
+    from unopose_tpu.engine.inference import make_infer_fn, run_inference
+
+    dataset = BOPTestsetPoseFreeOneRef(
+        cfg.dataloader.test,
+        eval_dataset_name=cfg.dataloader.test.eval_dataset_name,
+        detection_path=cfg.dataloader.test.detection_path,
+    )
+    # TODO(ckpt): restore trained variables; random init is only a pipeline test
+    import numpy as np
+
+    from __graft_entry__ import _full_inputs
+
+    sample = _full_inputs(np.random.default_rng(0), B=cfg.test.instance_batch_size)
+    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, sample, train=False)
+    infer_fn = make_infer_fn(model, variables)
+    name = cfg.dataloader.test.eval_dataset_name
+    save_path = osp.join(out_dir, f"result_{cfg.misc.exp_name}_{name}-test.csv")
+    os.makedirs(out_dir, exist_ok=True)
+    run_inference(infer_fn, dataset, save_path, instance_batch_size=cfg.test.instance_batch_size)
+
+
+if __name__ == "__main__":
+    main()

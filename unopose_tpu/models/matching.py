@@ -39,6 +39,26 @@ def _block_outputs(atten, scores, n1: int):
     return jnp.clip(score, 0.0, 1.0), jnp.clip(saliency, 0.0, 1.0)
 
 
+class _CoarseBlock(nn.Module):
+    """One coarse stage: GeometricTransformer + per-block score head.
+
+    Scan-compatible body — the nblock copies are stacked with nn.scan to
+    keep the compiled program small."""
+
+    hidden_dim: int
+    num_heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, geo1, geo2):
+        f1, f2 = carry
+        f1, f2 = GeometricTransformer(
+            ("self", "cross"), self.hidden_dim, self.num_heads, dtype=self.dtype, name="transformer"
+        )(f1, geo1, f2, geo2)
+        scores = nn.Dense(1, dtype=self.dtype, name="score_head")(jnp.concatenate([f1, f2], axis=1))
+        return (f1, f2), (f1, f2, scores)
+
+
 class CoarsePointMatching(nn.Module):
     nblock: int = 3
     input_dim: int = 256
@@ -66,24 +86,32 @@ class CoarsePointMatching(nn.Module):
         f1 = jnp.concatenate([bg, in_proj(f1.astype(self.dtype))], axis=1)
         f2 = jnp.concatenate([bg, in_proj(f2.astype(self.dtype))], axis=1)
 
+        Scanned = nn.scan(
+            _CoarseBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=self.nblock,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        _, (f1s, f2s, scores_s) = Scanned(self.hidden_dim, self.num_heads, self.dtype, name="blocks")(
+            (f1, f2), geo1, geo2
+        )
+
+        blocks = range(self.nblock) if all_blocks else [self.nblock - 1]
         attens, scores_l, sals = [], [], []
-        for idx in range(self.nblock):
-            f1, f2 = GeometricTransformer(
-                ("self", "cross"), self.hidden_dim, self.num_heads, dtype=self.dtype, name=f"transformer{idx}"
-            )(f1, geo1, f2, geo2)
-            scores = nn.Dense(1, dtype=self.dtype, name=f"score_head{idx}")(jnp.concatenate([f1, f2], axis=1))
-            if all_blocks or idx == self.nblock - 1:
-                atten = compute_feature_similarity(
-                    out_proj(f1).astype(jnp.float32),
-                    out_proj(f2).astype(jnp.float32),
-                    self.sim_type,
-                    self.temp,
-                    self.normalize_feat,
-                )
-                score, sal = _block_outputs(atten, scores, n1)
-                attens.append(atten)
-                scores_l.append(score)
-                sals.append(sal)
+        for idx in blocks:
+            atten = compute_feature_similarity(
+                out_proj(f1s[idx]).astype(jnp.float32),
+                out_proj(f2s[idx]).astype(jnp.float32),
+                self.sim_type,
+                self.temp,
+                self.normalize_feat,
+            )
+            score, sal = _block_outputs(atten, scores_s[idx], n1)
+            attens.append(atten)
+            scores_l.append(score)
+            sals.append(sal)
         return attens, scores_l, sals
 
 
@@ -136,6 +164,32 @@ class FinePositionalEncoding(nn.Module):
         return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
 
 
+class _FineBlock(nn.Module):
+    """One fine stage: SparseToDenseTransformer + per-block score head
+    (scan-compatible body, same rationale as _CoarseBlock)."""
+
+    hidden_dim: int
+    num_heads: int
+    focusing_factor: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, geo1, fps_idx1, geo2, fps_idx2):
+        f1, f2 = carry
+        f1, f2 = SparseToDenseTransformer(
+            self.hidden_dim,
+            sparse_blocks=("self", "cross"),
+            num_heads=self.num_heads,
+            focusing_factor=self.focusing_factor,
+            with_bg_token=True,
+            replace_bg_token=True,
+            dtype=self.dtype,
+            name="transformer",
+        )(f1, geo1, fps_idx1, f2, geo2, fps_idx2)
+        scores = nn.Dense(1, dtype=self.dtype, name="score_head")(jnp.concatenate([f1, f2], axis=1))
+        return (f1, f2), (f1, f2, scores)
+
+
 class FinePointMatching(nn.Module):
     nblock: int = 3
     input_dim: int = 256
@@ -183,29 +237,30 @@ class FinePointMatching(nn.Module):
         f2 = in_proj(f2.astype(self.dtype)) + pe(p2, train).astype(self.dtype)
         f2 = jnp.concatenate([bg, f2], axis=1)
 
+        Scanned = nn.scan(
+            _FineBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,) * 4,
+            length=self.nblock,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        _, (f1s, f2s, scores_s) = Scanned(
+            self.hidden_dim, self.num_heads, self.focusing_factor, self.dtype, name="blocks"
+        )((f1, f2), geo1, fps_idx1, geo2, fps_idx2)
+
+        blocks = range(self.nblock) if train else [self.nblock - 1]
         attens, scores_l, sals = [], [], []
-        for idx in range(self.nblock):
-            f1, f2 = SparseToDenseTransformer(
-                self.hidden_dim,
-                sparse_blocks=("self", "cross"),
-                num_heads=self.num_heads,
-                focusing_factor=self.focusing_factor,
-                with_bg_token=True,
-                replace_bg_token=True,
-                dtype=self.dtype,
-                name=f"transformer{idx}",
-            )(f1, geo1, fps_idx1, f2, geo2, fps_idx2)
-            scores = nn.Dense(1, dtype=self.dtype, name=f"score_head{idx}")(jnp.concatenate([f1, f2], axis=1))
-            if train or idx == self.nblock - 1:
-                atten = compute_feature_similarity(
-                    out_proj(f1).astype(jnp.float32),
-                    out_proj(f2).astype(jnp.float32),
-                    self.sim_type,
-                    self.temp,
-                    self.normalize_feat,
-                )
-                score, sal = _block_outputs(atten, scores, n1)
-                attens.append(atten)
-                scores_l.append(score)
-                sals.append(sal)
+        for idx in blocks:
+            atten = compute_feature_similarity(
+                out_proj(f1s[idx]).astype(jnp.float32),
+                out_proj(f2s[idx]).astype(jnp.float32),
+                self.sim_type,
+                self.temp,
+                self.normalize_feat,
+            )
+            score, sal = _block_outputs(atten, scores_s[idx], n1)
+            attens.append(atten)
+            scores_l.append(score)
+            sals.append(sal)
         return attens, scores_l, sals

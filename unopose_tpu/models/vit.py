@@ -34,7 +34,14 @@ class Mlp(nn.Module):
 
 
 class ViTBlock(nn.Module):
-    """Pre-norm block with optional LayerScale (timm `Block` semantics)."""
+    """Pre-norm block with optional LayerScale (timm `Block` semantics).
+
+    Signature is scan-compatible: (carry, _) -> (carry, carry). The blocks
+    are stacked with nn.scan (params get a leading depth axis) so the XLA
+    program contains ONE block body instead of ``depth`` copies — this cuts
+    whole-model compile time several-fold, which matters a lot over the
+    axon remote-compile tunnel.
+    """
 
     dim: int
     num_heads: int
@@ -43,7 +50,7 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, _=None):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -66,7 +73,8 @@ class ViTBlock(nn.Module):
         if self.init_values is not None:
             ls2 = self.param("ls2", nn.initializers.constant(self.init_values), (self.dim,))
             h = h * ls2.astype(self.dtype)
-        return x + h
+        out = x + h
+        return out, out
 
 
 class ViTPyramid(nn.Module):
@@ -122,15 +130,20 @@ class ViTPyramid(nn.Module):
 
         norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
         n = self.depth // 4
-        taps = {self.depth - 1 - i * n for i in range(4)}  # e.g. {11, 8, 5, 2} at depth 12
-        outs: List[jnp.ndarray] = []
-        for i in range(self.depth):
-            tokens = ViTBlock(
-                D, self.num_heads, self.mlp_ratio, self.init_values, dtype=self.dtype, name=f"block{i}"
-            )(tokens)
-            if i in taps:
-                outs.append(norm(tokens).astype(self.dtype))
-        # order shallow -> deep, matching the reference's enumeration order
+        taps = sorted(self.depth - 1 - i * n for i in range(4))  # e.g. [2, 5, 8, 11] at depth 12
+        ScannedBlocks = nn.scan(
+            ViTBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        _, xs = ScannedBlocks(
+            D, self.num_heads, self.mlp_ratio, self.init_values, dtype=self.dtype, name="blocks"
+        )(tokens, None)
+        # xs: (depth, B, T, D); tap + final-norm the 4 pyramid levels
+        # (order shallow -> deep, matching the reference's enumeration order)
+        outs: List[jnp.ndarray] = [norm(xs[i]).astype(self.dtype) for i in taps]
         cls = outs[-1][:, 0, :]
         return outs, cls
 

@@ -1,0 +1,146 @@
+"""Orbax checkpointing + PyTorch->JAX weight conversion.
+
+Counterpart of reference utils/my_checkpoint.py (periodic checkpoints of
+model+optimizer+iteration, keep-2, reference configs/main_cfg.py:61-64) and
+of load_timm_pretrained (:116-200) — here a torch->flax key mapping for the
+timm DINOv2 checkpoint the backbone is initialized from."""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class Checkpointer:
+    """Thin orbax wrapper with the reference's keep-N/period semantics."""
+
+    def __init__(self, directory: str, max_to_keep: int = 2, period: int = 5000):
+        import orbax.checkpoint as ocp
+
+        self.directory = osp.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.period = period
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+        self.manager = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any):
+        import orbax.checkpoint as ocp
+
+        self.manager.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+        self.manager.wait_until_finished()
+        logger.info("saved checkpoint at step %d -> %s", step, self.directory)
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        return self.manager.restore(step, args=ocp.args.StandardRestore(jax.device_get(state_template)))
+
+
+# --------------------------------------------------------------------------
+# torch (timm DINOv2) -> flax ViTPyramid conversion
+# --------------------------------------------------------------------------
+
+
+def convert_timm_vit_to_flax(state_dict: dict, depth: int = 12, reg_tokens: int = 4) -> dict:
+    """Map a timm VisionTransformer state_dict (as numpy arrays) onto the
+    ViTPyramid param tree (models/vit.py).
+
+    Key mapping (per-block tensors are STACKED along a leading depth axis —
+    ViTPyramid scans its blocks):
+        patch_embed.proj.{weight,bias} -> patch_embed (conv -> GEMM reshape)
+        cls_token / reg_token / pos_embed -> same names
+        blocks.i.norm{1,2}.{weight,bias} -> blocks.norm{1,2}.{scale,bias}[i]
+        blocks.i.attn.qkv.{weight,bias} -> blocks.qkv[i]
+        blocks.i.attn.proj.* -> blocks.attn_proj[i]
+        blocks.i.ls{1,2}.gamma -> blocks.ls{1,2}[i]
+        blocks.i.mlp.fc{1,2}.* -> blocks.mlp.fc{1,2}[i]
+        norm.{weight,bias} -> norm.{scale,bias}
+    """
+
+    def t(x):
+        return np.asarray(x)
+
+    sd = {k: t(v) for k, v in state_dict.items()}
+    params: dict = {}
+
+    # patch embed conv (D, 3, P, P) -> dense kernel (P*P*3, D), matching the
+    # (g, P, g, P, 3) -> (g*g, P*P*3) patchify order in ViTPyramid.__call__
+    w = sd["patch_embed.proj.weight"]  # (D, 3, P, P)
+    D, C, P, _ = w.shape
+    kernel = w.transpose(2, 3, 1, 0).reshape(P * P * C, D)
+    params["patch_embed"] = {"kernel": kernel, "bias": sd["patch_embed.proj.bias"]}
+
+    params["cls_token"] = sd["cls_token"]
+    if reg_tokens and "reg_token" in sd:
+        params["reg_token"] = sd["reg_token"]
+    params["pos_embed"] = sd["pos_embed"]
+
+    def stack(fmt):
+        return np.stack([sd[fmt.format(i)] for i in range(depth)])
+
+    blocks = {
+        "norm1": {"scale": stack("blocks.{}.norm1.weight"), "bias": stack("blocks.{}.norm1.bias")},
+        "norm2": {"scale": stack("blocks.{}.norm2.weight"), "bias": stack("blocks.{}.norm2.bias")},
+        "qkv": {
+            "kernel": stack("blocks.{}.attn.qkv.weight").transpose(0, 2, 1),
+            "bias": stack("blocks.{}.attn.qkv.bias"),
+        },
+        "attn_proj": {
+            "kernel": stack("blocks.{}.attn.proj.weight").transpose(0, 2, 1),
+            "bias": stack("blocks.{}.attn.proj.bias"),
+        },
+        "mlp": {
+            "fc1": {
+                "kernel": stack("blocks.{}.mlp.fc1.weight").transpose(0, 2, 1),
+                "bias": stack("blocks.{}.mlp.fc1.bias"),
+            },
+            "fc2": {
+                "kernel": stack("blocks.{}.mlp.fc2.weight").transpose(0, 2, 1),
+                "bias": stack("blocks.{}.mlp.fc2.bias"),
+            },
+        },
+    }
+    if "blocks.0.ls1.gamma" in sd:
+        blocks["ls1"] = stack("blocks.{}.ls1.gamma")
+        blocks["ls2"] = stack("blocks.{}.ls2.gamma")
+    params["blocks"] = blocks
+
+    params["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+    return params
+
+
+def load_timm_checkpoint(path: str) -> dict:
+    """Load a .pth timm checkpoint into numpy arrays (torch cpu only)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model = ckpt.get("model", ckpt)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in model.items()}
+
+
+def interpolate_pos_embed_np(pos_embed: np.ndarray, new_grid: int) -> np.ndarray:
+    """Bicubic-resample (1, g*g, D) patch position embeddings to a new grid
+    size (reference model_utils.py:105-134). Uses scipy zoom (bicubic-like)."""
+    from scipy.ndimage import zoom
+
+    _, n, d = pos_embed.shape
+    g = int(round(n**0.5))
+    if g == new_grid:
+        return pos_embed
+    grid = pos_embed.reshape(g, g, d)
+    scale = new_grid / g
+    out = zoom(grid, (scale, scale, 1.0), order=3)
+    return out.reshape(1, new_grid * new_grid, d).astype(pos_embed.dtype)
