@@ -45,7 +45,9 @@ def main():
     from unopose_tpu.models import UNOPose
 
     cfg = get_cfg()
-    model = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.bfloat16)
+    # bf16 matchers at inference: the accuracy-critical paths (similarity,
+    # softmax, PE, solvers) are pinned fp32 inside the modules
+    model = UNOPose.from_config(cfg.model, dtype=jnp.bfloat16, backbone_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     inputs = _full_inputs(rng, B=BATCH)
 

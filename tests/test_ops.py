@@ -90,9 +90,29 @@ def test_sample_pts_feats_shapes(rng):
 def test_ball_query_matches_oracle(rng):
     xyz = rng.uniform(-1, 1, size=(2, 80, 3)).astype(np.float32)
     new_xyz = xyz[:, :20]
-    got = np.asarray(ball_query(0.5, 8, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+    got = np.asarray(ball_query(0.5, 8, jnp.asarray(xyz), jnp.asarray(new_xyz), exact=True))
     want = ball_query_oracle(0.5, 8, xyz, new_xyz)
     np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_approx_properties(rng):
+    """approx path: every returned index must be in-radius (when the ball is
+    non-empty) and slots beyond the count padded with the first slot."""
+    xyz = rng.uniform(-1, 1, size=(2, 200, 3)).astype(np.float32)
+    new_xyz = xyz[:, :50]
+    r, k = 0.4, 16
+    got = np.asarray(ball_query(r, k, jnp.asarray(xyz), jnp.asarray(new_xyz), exact=False))
+    d2 = ((new_xyz[:, :, None] - xyz[:, None]) ** 2).sum(-1)
+    mask = d2 < r * r
+    cnt = mask.sum(-1)
+    for b in range(2):
+        for p in range(50):
+            c = min(cnt[b, p], k)
+            if cnt[b, p] == 0:
+                assert (got[b, p] == 0).all()
+                continue
+            assert mask[b, p, got[b, p, :c]].all()  # all valid slots in-radius
+            assert (got[b, p, c:] == got[b, p, 0]).all()  # pad-with-first
 
 
 def test_ball_query_empty_ball(rng):

@@ -1,0 +1,300 @@
+"""BOP19 evaluation orchestrator: CSV estimates -> VSD/MSSD/MSPD -> AR.
+
+Counterpart of the reference's vendored evaluator pipeline
+(third_party/bop_toolkit/scripts/eval_pose_results_more.py +
+eval_calc_errors.py + eval_calc_scores.py + the table printer in
+core/unopose/engine/bop_eval_utils.py:340-454), collapsed into one python
+module — no subprocess fan-out; errors for all thresholds are computed in a
+single pass over the estimates.
+
+Protocol (BOP19, reference engine.py:74-84):
+  * errors: VSD (delta=15mm, taus 0.05:0.05:0.5, diameter-normalized),
+    MSSD, MSPD
+  * thresholds of correctness: VSD/MSSD tau in 0.05:0.05:0.5 (MSSD relative
+    to object diameter), MSPD 5:5:50 px scaled by r = width/640
+  * valid GTs: visib_fract > 0.1; greedy score-ordered matching per
+    (scene, im, obj); n_top = -1 (all estimates)
+  * recalls averaged over thresholds; AR = mean(AR_vsd, AR_mssd, AR_mspd);
+    per-object table + instance-weighted overall
+    (bop_eval_utils.py:197-200,269-276)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os.path as osp
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from unopose_tpu.data.preprocess import load_im, load_json
+from unopose_tpu.eval.pose_error import (
+    get_symmetry_transformations,
+    mspd,
+    mssd,
+    vsd_from_depths,
+)
+from unopose_tpu.eval.ply import load_ply
+from unopose_tpu.eval.renderer import PointSplatRenderer
+
+logger = logging.getLogger(__name__)
+
+VSD_TAUS = [0.05 * i for i in range(1, 11)]
+VSD_DELTA = 15.0
+REL_THRESHOLDS = [0.05 * i for i in range(1, 11)]  # vsd / mssd
+MSPD_THRESHOLDS = [5.0 * i for i in range(1, 11)]  # px, scaled by width/640
+
+
+def load_estimates_csv(path: str) -> List[Dict]:
+    ests = []
+    for line in open(path):
+        line = line.strip()
+        if not line or line.startswith("scene_id"):
+            continue
+        parts = line.split(",")
+        ests.append(
+            dict(
+                scene_id=int(parts[0]),
+                im_id=int(parts[1]),
+                obj_id=int(parts[2]),
+                score=float(parts[3]),
+                R=np.fromstring(parts[4], sep=" ").reshape(3, 3),
+                t=np.fromstring(parts[5], sep=" "),  # mm
+                time=float(parts[6]) if len(parts) > 6 else -1.0,
+            )
+        )
+    return ests
+
+
+class ModelStore:
+    """Lazy per-object meshes + info + renderer registration."""
+
+    def __init__(self, models_dir: str, renderer: Optional[PointSplatRenderer] = None, n_mspd_pts: int = 0):
+        self.models_dir = models_dir
+        self.info = {int(k): v for k, v in load_json(osp.join(models_dir, "models_info.json")).items()}
+        self.renderer = renderer
+        self._pts: Dict[int, np.ndarray] = {}
+        self._syms: Dict[int, list] = {}
+        self.n_mspd_pts = n_mspd_pts
+
+    def pts(self, obj_id: int) -> np.ndarray:
+        if obj_id not in self._pts:
+            ply = load_ply(osp.join(self.models_dir, f"obj_{obj_id:06d}.ply"))
+            pts = ply["pts"]
+            if self.n_mspd_pts and len(pts) > self.n_mspd_pts:
+                sel = np.linspace(0, len(pts) - 1, self.n_mspd_pts).astype(int)
+                pts = pts[sel]
+            self._pts[obj_id] = pts
+            if self.renderer is not None:
+                self.renderer.add_object(obj_id, ply["pts"], ply["faces"], self.info[obj_id]["diameter"])
+        return self._pts[obj_id]
+
+    def syms(self, obj_id: int) -> list:
+        if obj_id not in self._syms:
+            self._syms[obj_id] = get_symmetry_transformations(self.info[obj_id], max_sym_disc_step=0.01)
+        return self._syms[obj_id]
+
+    def diameter(self, obj_id: int) -> float:
+        return self.info[obj_id]["diameter"]
+
+
+def _match_recall(errs_by_gt: Dict[int, List], n_valid_gts: int, thresh: float) -> int:
+    """Greedy score-ordered matching (pose_matching.py:9-88); returns the
+    number of matched GTs at the given threshold.
+
+    errs_by_gt: list of (score, {gt_id: err}) per estimate."""
+    matched = set()
+    n = 0
+    for score, errors in errs_by_gt:
+        best_gt, best_err = -1, thresh
+        for gt_id, err in errors.items():
+            if gt_id not in matched and err < best_err:
+                best_gt, best_err = gt_id, err
+        if best_gt >= 0:
+            matched.add(best_gt)
+            n += 1
+    return n
+
+
+def evaluate_bop(
+    result_csv: str,
+    dataset_dir: str,
+    models_dir: Optional[str] = None,
+    split: str = "test",
+    error_types: Sequence[str] = ("vsd", "mssd", "mspd"),
+    targets_name: str = "test_targets_bop19.json",
+    visib_gt_min: float = 0.1,
+    im_size=(480, 640),
+    max_images: Optional[int] = None,
+) -> Dict:
+    """Evaluate a BOP19 CSV against a BOP dataset directory.
+
+    Returns {error_type: {"per_object": {obj: AR}, "average": instance-
+    weighted AR}, "AR": mean over error types, ...}.
+    """
+    models_dir = models_dir or osp.join(dataset_dir, "models_eval")
+    need_vsd = "vsd" in error_types
+    renderer = PointSplatRenderer(im_size[0], im_size[1]) if need_vsd else None
+    store = ModelStore(models_dir, renderer)
+
+    targets = load_json(osp.join(dataset_dir, targets_name))
+    target_set = {}  # (scene, im, obj) -> inst_count
+    for t in targets:
+        target_set[(t["scene_id"], t["im_id"], t["obj_id"])] = t.get("inst_count", 1)
+
+    ests = load_estimates_csv(result_csv)
+    by_image = defaultdict(list)
+    for e in ests:
+        if (e["scene_id"], e["im_id"], e["obj_id"]) in target_set:
+            by_image[(e["scene_id"], e["im_id"])].append(e)
+
+    # group target images by scene
+    scene_images = defaultdict(set)
+    for s, i, o in target_set:
+        scene_images[s].add(i)
+
+    # error accumulators: err_type -> obj -> list of (n_valid, [matched@thresh...])
+    per_obj = {et: defaultdict(lambda: [0, None]) for et in error_types}
+    ths = {
+        "vsd": REL_THRESHOLDS,
+        "mssd": REL_THRESHOLDS,
+        "mspd": MSPD_THRESHOLDS,
+    }
+
+    gt_cache = {}
+    n_images_done = 0
+    for scene_id, images in sorted(scene_images.items()):
+        scene_folder = osp.join(dataset_dir, split, f"{scene_id:06d}")
+        if scene_id not in gt_cache:
+            gt_cache = {
+                scene_id: (
+                    load_json(osp.join(scene_folder, "scene_gt.json")),
+                    load_json(osp.join(scene_folder, "scene_gt_info.json")),
+                    load_json(osp.join(scene_folder, "scene_camera.json")),
+                )
+            }
+        scene_gt, scene_gt_info, scene_camera = gt_cache[scene_id]
+
+        for im_id in sorted(images):
+            if max_images is not None and n_images_done >= max_images:
+                break
+            n_images_done += 1
+            gts = scene_gt[str(im_id)]
+            gt_infos = scene_gt_info[str(im_id)]
+            K = np.asarray(scene_camera[str(im_id)]["cam_K"], np.float64).reshape(3, 3)
+            depth_scale = scene_camera[str(im_id)].get("depth_scale", 1.0)
+            depth_test = None
+
+            img_ests = by_image.get((scene_id, im_id), [])
+            objs_here = {o for (s, i, o) in target_set if s == scene_id and i == im_id}
+            for obj_id in sorted(objs_here):
+                gt_ids = [g for g, gt in enumerate(gts) if gt["obj_id"] == obj_id]
+                valid = {
+                    g: gt_infos[g]["visib_fract"] > visib_gt_min for g in gt_ids
+                }
+                n_valid = sum(valid.values())
+                if n_valid == 0:
+                    continue
+                obj_ests = sorted(
+                    (e for e in img_ests if e["obj_id"] == obj_id), key=lambda e: -e["score"]
+                )
+
+                # compute errors per estimate per GT
+                errs = {et: [] for et in error_types}
+                for e in obj_ests:
+                    e_errs = {et: {} for et in error_types}
+                    for g in gt_ids:
+                        if not valid[g]:
+                            continue
+                        gt = gts[g]
+                        R_g = np.asarray(gt["cam_R_m2c"], np.float64).reshape(3, 3)
+                        t_g = np.asarray(gt["cam_t_m2c"], np.float64)
+                        pts = store.pts(obj_id)
+                        syms = store.syms(obj_id)
+                        if "mssd" in error_types:
+                            e_errs["mssd"][g] = mssd(e["R"], e["t"], R_g, t_g, pts, syms) / store.diameter(obj_id)
+                        if "mspd" in error_types:
+                            r = im_size[1] / 640.0
+                            e_errs["mspd"][g] = mspd(e["R"], e["t"], R_g, t_g, K, pts, syms) / r
+                        if need_vsd:
+                            if depth_test is None:
+                                depth_test = (
+                                    load_im(osp.join(scene_folder, "depth", f"{im_id:06d}.png")).astype(np.float64)
+                                    * depth_scale
+                                )
+                            d_est = renderer.render_depth(obj_id, e["R"], e["t"], K)
+                            d_gt = renderer.render_depth(obj_id, R_g, t_g, K)
+                            vsd_errs = vsd_from_depths(
+                                d_est, d_gt, depth_test, K, VSD_DELTA, VSD_TAUS, True, store.diameter(obj_id)
+                            )
+                            e_errs["vsd"][g] = vsd_errs  # list over taus
+                    for et in error_types:
+                        errs[et].append((e["score"], e_errs[et]))
+
+                # matching + recall counting per threshold
+                for et in error_types:
+                    slot = per_obj[et][obj_id]
+                    if slot[1] is None:
+                        slot[1] = np.zeros(len(ths[et]) if et != "vsd" else len(ths["vsd"]) * len(VSD_TAUS))
+                    if et == "vsd":
+                        # recall over (threshold, tau) pairs, averaged later
+                        k = 0
+                        for ti, tau in enumerate(VSD_TAUS):
+                            per_tau = [(s, {g: v[ti] for g, v in d.items()}) for s, d in errs[et]]
+                            for th in ths[et]:
+                                slot[1][k] += _match_recall(per_tau, n_valid, th)
+                                k += 1
+                        slot[0] += n_valid
+                    else:
+                        for k, th in enumerate(ths[et]):
+                            slot[1][k] += _match_recall(errs[et], n_valid, th)
+                        slot[0] += n_valid
+
+    # aggregate: per-object AR (mean recall over thresholds [x taus]),
+    # overall = instance-weighted mean (bop_eval_utils.py:197-200)
+    out = {}
+    for et in error_types:
+        per_object = {}
+        w_num, w_den = 0.0, 0.0
+        for obj_id, (n_valid, matched) in sorted(per_obj[et].items()):
+            if n_valid == 0 or matched is None:
+                continue
+            recalls = matched / n_valid
+            per_object[obj_id] = float(np.mean(recalls))
+            w_num += np.sum(matched)
+            w_den += n_valid * len(matched)
+        out[et] = {"per_object": per_object, "average": float(w_num / max(w_den, 1e-9))}
+    out["AR"] = float(np.mean([out[et]["average"] for et in error_types]))
+    out["n_images"] = n_images_done
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="BOP19 evaluation (VSD/MSSD/MSPD)")
+    p.add_argument("result_csv")
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--models-dir", default=None)
+    p.add_argument("--split", default="test")
+    p.add_argument("--error-types", default="vsd,mssd,mspd")
+    p.add_argument("--targets-name", default="test_targets_bop19.json")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    res = evaluate_bop(
+        args.result_csv,
+        args.dataset_dir,
+        models_dir=args.models_dir,
+        split=args.split,
+        error_types=tuple(args.error_types.split(",")),
+        targets_name=args.targets_name,
+    )
+    print(json.dumps(res, indent=2))
+    if args.out:
+        json.dump(res, open(args.out, "w"), indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Depth renderer for VSD: z-buffer point splatting of densified meshes.
+
+The reference evaluator renders model depth with a GPU rasterizer
+(bop_toolkit renderer_vispy.py); here depth maps are produced by projecting
+a densely (super)sampled point set of the mesh surface and scatter-min-ing
+into the z-buffer, with a small dilation to close pinholes. For VSD's step
+cost at tau >= 0.05 x diameter this approximates the true rasterization
+closely (validated in tests against an exact half-space rasterizer on
+synthetic meshes); a tiled triangle rasterizer can replace it later without
+touching the metric code.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def densify_mesh(pts: np.ndarray, faces: np.ndarray, target_density: float) -> np.ndarray:
+    """Supersample points on faces so that surface density reaches roughly
+    ``target_density`` points per square unit (area-weighted barycentric
+    sampling, deterministic RNG)."""
+    if len(faces) == 0:
+        return pts
+    v0, v1, v2 = pts[faces[:, 0]], pts[faces[:, 1]], pts[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    total = areas.sum()
+    n_extra = int(min(target_density * total, 4e6))
+    if n_extra <= 0:
+        return pts
+    rng = np.random.default_rng(0)
+    face_idx = rng.choice(len(faces), size=n_extra, p=areas / total)
+    r1 = np.sqrt(rng.random(n_extra))
+    r2 = rng.random(n_extra)
+    a, b, c = 1 - r1, r1 * (1 - r2), r1 * r2
+    extra = a[:, None] * v0[face_idx] + b[:, None] * v1[face_idx] + c[:, None] * v2[face_idx]
+    return np.concatenate([pts, extra], axis=0)
+
+
+class PointSplatRenderer:
+    """Per-object cached densified clouds; renders (H, W) z-buffers."""
+
+    def __init__(self, height: int, width: int, dilation: int = 1):
+        self.height = height
+        self.width = width
+        self.dilation = dilation
+        self._models: Dict[int, np.ndarray] = {}
+
+    def add_object(self, obj_id: int, pts: np.ndarray, faces: np.ndarray, diameter: float):
+        # density target: ~4 samples per (diameter/400)^2 patch — enough for
+        # roughly pixel-level coverage at typical BOP object distances
+        cell = max(diameter / 400.0, 1e-6)
+        self._models[obj_id] = densify_mesh(np.asarray(pts, np.float64), np.asarray(faces), 4.0 / (cell * cell))
+
+    def render_depth(self, obj_id: int, R: np.ndarray, t: np.ndarray, K: np.ndarray) -> np.ndarray:
+        pts = self._models[obj_id] @ np.asarray(R, np.float64).T + np.asarray(t, np.float64).reshape(1, 3)
+        z = pts[:, 2]
+        front = z > 1e-6
+        pts = pts[front]
+        z = z[front]
+        proj = pts @ np.asarray(K, np.float64).T
+        u = np.round(proj[:, 0] / proj[:, 2]).astype(np.int64)
+        v = np.round(proj[:, 1] / proj[:, 2]).astype(np.int64)
+        ok = (u >= 0) & (u < self.width) & (v >= 0) & (v < self.height)
+        u, v, z = u[ok], v[ok], z[ok]
+
+        depth = np.full(self.height * self.width, np.inf)
+        np.minimum.at(depth, v * self.width + u, z)
+        depth = depth.reshape(self.height, self.width)
+        depth[~np.isfinite(depth)] = 0.0
+
+        if self.dilation > 0:
+            depth = _closing_min(depth, self.dilation)
+        return depth
+
+
+def _closing_min(depth: np.ndarray, it: int) -> np.ndarray:
+    """Fill interior pinholes: a zero pixel takes the min positive neighbor
+    value only when at least 3 of its 4 neighbors are filled — boundary
+    pixels (<=2 filled neighbors) are left empty so the silhouette is not
+    inflated. Applied ``it`` times."""
+    d = depth.copy()
+    for _ in range(it):
+        big = np.where(d > 0, d, np.inf)
+        shifted = [
+            np.pad(big, ((0, 1), (0, 0)), constant_values=np.inf)[1:, :],
+            np.pad(big, ((1, 0), (0, 0)), constant_values=np.inf)[:-1, :],
+            np.pad(big, ((0, 0), (0, 1)), constant_values=np.inf)[:, 1:],
+            np.pad(big, ((0, 0), (1, 0)), constant_values=np.inf)[:, :-1],
+        ]
+        neigh = np.minimum.reduce(shifted)
+        n_filled = sum(np.isfinite(s).astype(np.int8) for s in shifted)
+        fill = (d == 0) & (n_filled >= 3)
+        d[fill] = neigh[fill]
+    return d
+
+
+def rasterize_exact(pts: np.ndarray, faces: np.ndarray, R, t, K, height: int, width: int) -> np.ndarray:
+    """Exact (slow, per-face loop) triangle z-buffer rasterizer — the oracle
+    the splat renderer is validated against in tests."""
+    cam = pts @ np.asarray(R).T + np.asarray(t).reshape(1, 3)
+    depth = np.full((height, width), np.inf)
+    for f in faces:
+        tri = cam[f]
+        if np.any(tri[:, 2] <= 1e-6):
+            continue
+        proj = tri @ np.asarray(K).T
+        uv = proj[:, :2] / proj[:, 2:3]
+        u0 = max(int(np.floor(uv[:, 0].min())), 0)
+        u1 = min(int(np.ceil(uv[:, 0].max())) + 1, width)
+        v0 = max(int(np.floor(uv[:, 1].min())), 0)
+        v1 = min(int(np.ceil(uv[:, 1].max())) + 1, height)
+        if u0 >= u1 or v0 >= v1:
+            continue
+        gu, gv = np.meshgrid(np.arange(u0, u1) + 0.0, np.arange(v0, v1) + 0.0)
+        # barycentric in image space
+        x1, y1 = uv[0]
+        x2, y2 = uv[1]
+        x3, y3 = uv[2]
+        det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+        if abs(det) < 1e-12:
+            continue
+        l1 = ((y2 - y3) * (gu - x3) + (x3 - x2) * (gv - y3)) / det
+        l2 = ((y3 - y1) * (gu - x3) + (x1 - x3) * (gv - y3)) / det
+        l3 = 1.0 - l1 - l2
+        inside = (l1 >= 0) & (l2 >= 0) & (l3 >= 0)
+        # perspective-correct depth: interpolate 1/z
+        zinv = l1 / tri[0, 2] + l2 / tri[1, 2] + l3 / tri[2, 2]
+        z = np.where(inside & (zinv > 0), 1.0 / np.maximum(zinv, 1e-12), np.inf)
+        win = depth[v0:v1, u0:u1]
+        depth[v0:v1, u0:u1] = np.minimum(win, z)
+    depth[~np.isfinite(depth)] = 0.0
+    return depth

@@ -11,6 +11,7 @@ from typing import Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 
+from unopose_tpu.ops.fps import gather_points
 from unopose_tpu.ops.geometry import pairwise_sqdist
 
 
@@ -90,7 +91,7 @@ def compute_overlap_loss(
     fg_mask = (pred_label > 0).astype(jnp.float32)
     out[f"{loss_str}_fg_num"] = jnp.sum(fg_mask, axis=1)
     fg_label = (fg_mask * (pred_label - 1)).astype(jnp.int32)
-    pred_pts = jnp.take_along_axis(pts2, fg_label[..., None], axis=1)
+    pred_pts = gather_points(pts2, fg_label)
     pred_dis = jnp.linalg.norm(pred_pts - gt_pts, axis=2)
     out[f"{loss_str}_dis"] = jnp.sum(pred_dis * fg_mask, axis=1) / (jnp.sum(fg_mask, axis=1) + 1e-8)
     return out

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from unopose_tpu.models.vit import make_vit
-from unopose_tpu.ops.fps import sample_pts_feats
+from unopose_tpu.ops.fps import gather_points, sample_pts_feats
 
 
 def get_chosen_pixel_feats(feat_map: jnp.ndarray, choose: jnp.ndarray) -> jnp.ndarray:
@@ -30,7 +30,44 @@ def get_chosen_pixel_feats(feat_map: jnp.ndarray, choose: jnp.ndarray) -> jnp.nd
     (B, P) indices into the row-major H*W grid (reference model_utils.py:215-227)."""
     B, H, W, C = feat_map.shape
     flat = feat_map.reshape(B, H * W, C)
-    return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32), axis=1)
+    return gather_points(flat, choose)
+
+
+def bilinear_gather(feat_map: jnp.ndarray, choose: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Bilinearly sample a low-res (B, g, g, C) feature map at the pixel
+    centers of flat indices into a virtual (out_size, out_size) grid.
+
+    Numerically equivalent to ``jax.image.resize(..., 'bilinear')`` (half-pixel
+    centers, edge clamp — torch align_corners=False) followed by a flat
+    gather, but touches only the requested pixels: the reference's
+    materialize-224^2-then-gather path (oneref_feature_extraction.py:229 +
+    model_utils.py:215-227) writes ~25x more HBM than the gather needs.
+    """
+    B, g, g2, C = feat_map.shape
+    assert g == g2
+    flat = feat_map.reshape(B, g * g, C)
+    choose = choose.astype(jnp.int32)
+    r = (choose // out_size).astype(jnp.float32)
+    c = (choose % out_size).astype(jnp.float32)
+    scale = g / out_size
+
+    def src(v):
+        s = jnp.clip((v + 0.5) * scale - 0.5, 0.0, g - 1.0)
+        lo = jnp.clip(jnp.floor(s), 0, g - 1)
+        hi = jnp.minimum(lo + 1, g - 1)
+        return lo.astype(jnp.int32), hi.astype(jnp.int32), (s - lo).astype(feat_map.dtype)
+
+    y0, y1, wy = src(r)
+    x0, x1, wx = src(c)
+
+    def take(yy, xx):
+        return gather_points(flat, yy * g + xx)
+
+    wy = wy[..., None]
+    wx = wx[..., None]
+    top = take(y0, x0) * (1 - wx) + take(y0, x1) * wx
+    bot = take(y1, x0) * (1 - wx) + take(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
 
 
 class ViTAE(nn.Module):
@@ -43,8 +80,13 @@ class ViTAE(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(B, H, W, 3) -> dense feature map (B, H, W, out_dim), cls (B, D)."""
+    def __call__(self, x: jnp.ndarray, upsample: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, H, W, 3) -> dense feature map (B, H, W, out_dim), cls (B, D).
+
+        With ``upsample=False`` the (B, 4*grid, 4*grid, out_dim) map is
+        returned un-resized — callers that only need sparse pixels sample it
+        directly with ``bilinear_gather`` (equivalent values, ~25x less HBM
+        traffic than materializing the full-resolution map)."""
         B, H, W, _ = x.shape
         vit = make_vit(self.vit_type, img_size=self.img_size, dtype=self.dtype, name="vit")
         outs, cls = vit(x)
@@ -66,6 +108,8 @@ class ViTAE(nn.Module):
         else:
             raise ValueError(self.up_type)
 
+        if not upsample:
+            return up, cls
         dense = jax.image.resize(up.astype(jnp.float32), (B, H, W, self.out_dim), method="bilinear")
         return dense.astype(self.dtype), cls
 
@@ -94,7 +138,8 @@ class ViTEncoderOneRef(nn.Module):
         )
 
     def get_img_feats(self, img: jnp.ndarray, choose: jnp.ndarray) -> jnp.ndarray:
-        return get_chosen_pixel_feats(self.rgb_net(img)[0], choose)
+        low, _ = self.rgb_net(img, upsample=False)
+        return bilinear_gather(low, choose, img.shape[1])
 
     def __call__(
         self,

@@ -118,7 +118,9 @@ class UNOPose(nn.Module):
             return global_lrf(pts, jnp.ones(pts.shape[0], jnp.float32))
         return global_lrf(pts)
 
-    def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self, inputs: Dict[str, jnp.ndarray], train: bool = False, return_intermediates: bool = False
+    ) -> Dict[str, jnp.ndarray]:
         """Pure network pass; the train/eval pose logic lives in the wrappers.
 
         inputs: rgb (B,H,W,3), rgb_choose (B,P1), pts (B,P1,3),
@@ -205,6 +207,12 @@ class UNOPose(nn.Module):
             out["pred_R"] = pred_R
             out["pred_t"] = pred_t * (radius[:, None] + 1e-6)
             out["pred_pose_score"] = pred_score
+            if not return_intermediates:
+                # keep only the pose results live: retaining the (B, n+1, n+1)
+                # similarity matrices and dense features across inference
+                # steps wastes ~0.5GB/batch of HBM
+                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score")
+                out = {k: out[k] for k in keep if k in out}
         return out
 
 

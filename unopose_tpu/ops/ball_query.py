@@ -22,12 +22,19 @@ import jax.numpy as jnp
 from unopose_tpu.ops.geometry import pairwise_sqdist
 
 
-def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+def ball_query(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray, exact: bool = False
+) -> jnp.ndarray:
     """Args:
         radius: ball radius.
         nsample: max neighbors per ball.
         xyz: (B, N, 3) source points.
         new_xyz: (B, P, 3) query centers.
+        exact: use exact lax.top_k (a full per-row sort on TPU — slow).
+            The default uses the TPU-optimized ``approx_max_k``
+            (recall 0.99); when a ball holds more than ``nsample`` points a
+            few of them may be swapped for other in-radius points, which is
+            immaterial downstream (the neighborhood feeds BN + max-pool).
     Returns:
         (B, P, nsample) int32 neighbor indices.
     """
@@ -37,11 +44,18 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarr
     d2 = pairwise_sqdist(new_xyz, xyz)  # (B, P, N)
     mask = d2 < radius * radius
     # keys: in-radius points get (2N - i) in (N, 2N] (descending in index i);
-    # out-of-radius get (N - i) in (0, N]. top_k picks in-radius first, by
+    # out-of-radius get (N - i) in (0, N]. top-k picks in-radius first, by
     # ascending original index.
     iota = jnp.arange(N, dtype=jnp.int32)
     key = jnp.where(mask, 2 * N - iota, N - iota)
-    _, idx = jax.lax.top_k(key, nsample)  # (B, P, nsample), positions == indices
+    if exact:
+        _, idx = jax.lax.top_k(key, nsample)  # positions == indices
+    else:
+        _, idx = jax.lax.approx_max_k(key.astype(jnp.float32), nsample, recall_target=0.99)
+        # approx_max_k does not guarantee descending order; restore it so
+        # slot order (and the pad-with-first choice) stays deterministic.
+        order = jnp.argsort(-jnp.take_along_axis(key, idx, axis=-1), axis=-1)
+        idx = jnp.take_along_axis(idx, order, axis=-1)
     cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)[..., None]  # (B, P, 1)
     slot = jnp.arange(nsample, dtype=jnp.int32)
     first = jnp.where(cnt > 0, idx[..., :1], 0)  # first in-radius index or 0
@@ -50,11 +64,13 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarr
 
 
 def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather (B, N, C) features at (B, P, S) indices -> (B, P, S, C)."""
-    B, P, S = idx.shape
-    flat = idx.reshape(B, P * S, 1).astype(jnp.int32)
-    out = jnp.take_along_axis(features, flat, axis=1)
-    return out.reshape(B, P, S, features.shape[-1])
+    """Gather (B, N, C) features at (B, P, S) indices -> (B, P, S, C).
+
+    Uses the flattened single-axis gather (see ops/fps.gather_points) —
+    ~10x faster on TPU than a batched take_along_axis."""
+    from unopose_tpu.ops.fps import gather_points
+
+    return gather_points(features, idx)
 
 
 def query_and_group(

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from unopose_tpu.ops.fps import gather_points
 from unopose_tpu.ops.geometry import pairwise_sqdist
 from unopose_tpu.ops.procrustes import weighted_procrustes
 
@@ -82,16 +83,18 @@ def compute_coarse_Rt_overlap(
     ps = pred[:, 1:, 1:] * w1[:, :, None] * w2[:, None, :]
     ps = jnp.reshape(ps, (B, N1 * N2)) ** 1.5
 
-    # inverse-CDF sampling of 3 * n_proposal1 correspondences
+    # inverse-CDF sampling of 3 * n_proposal1 correspondences.
+    # method='sort' lowers to one fused sort; the default 'scan' binary
+    # search is a sequential while loop (~90ms at this size on v5e).
     cum = jnp.cumsum(ps, axis=1)
     cum = cum / (cum[:, -1:] + 1e-8)
     r = jax.random.uniform(key, (B, n_proposal1 * 3), dtype=jnp.float32)
-    idx = jax.vmap(jnp.searchsorted)(cum, r)  # (B, 3*n_proposal1)
+    idx = jax.vmap(lambda a, v: jnp.searchsorted(a, v, method="sort"))(cum, r)  # (B, 3*n_proposal1)
     idx1 = jnp.minimum(idx // N2, N1 - 1)
     idx2 = idx % N2
 
-    p1 = jnp.take_along_axis(pts1, idx1[..., None], axis=1).reshape(B * n_proposal1, 3, 3)
-    p2 = jnp.take_along_axis(pts2, idx2[..., None], axis=1).reshape(B * n_proposal1, 3, 3)
+    p1 = gather_points(pts1, idx1).reshape(B * n_proposal1, 3, 3)
+    p2 = gather_points(pts2, idx2).reshape(B * n_proposal1, 3, 3)
     rs, ts = weighted_procrustes(p2, p1)  # p1 ~= R p2 + t
     rs = rs.reshape(B, n_proposal1, 3, 3)
     ts = ts.reshape(B, n_proposal1, 1, 3)
