@@ -90,29 +90,24 @@ def test_sample_pts_feats_shapes(rng):
 def test_ball_query_matches_oracle(rng):
     xyz = rng.uniform(-1, 1, size=(2, 80, 3)).astype(np.float32)
     new_xyz = xyz[:, :20]
-    got = np.asarray(ball_query(0.5, 8, jnp.asarray(xyz), jnp.asarray(new_xyz), exact=True))
+    got = np.asarray(ball_query(0.5, 8, jnp.asarray(xyz), jnp.asarray(new_xyz)))
     want = ball_query_oracle(0.5, 8, xyz, new_xyz)
     np.testing.assert_array_equal(got, want)
 
 
-def test_ball_query_approx_properties(rng):
-    """approx path: every returned index must be in-radius (when the ball is
-    non-empty) and slots beyond the count padded with the first slot."""
-    xyz = rng.uniform(-1, 1, size=(2, 200, 3)).astype(np.float32)
-    new_xyz = xyz[:, :50]
-    r, k = 0.4, 16
-    got = np.asarray(ball_query(r, k, jnp.asarray(xyz), jnp.asarray(new_xyz), exact=False))
-    d2 = ((new_xyz[:, :, None] - xyz[:, None]) ** 2).sum(-1)
-    mask = d2 < r * r
-    cnt = mask.sum(-1)
+def test_two_scale_group_matches_single_scale(rng):
+    """two_scale_group's groupings must match independent ball queries when
+    scale 2 captures every scale-1 candidate (the typical case)."""
+    from unopose_tpu.ops.ball_query import two_scale_group
+
+    xyz = rng.uniform(-1, 1, size=(2, 100, 3)).astype(np.float32)
+    r1, k1, r2, k2 = 0.3, 8, 0.6, 64
+    g1, g2 = two_scale_group(r1, k1, r2, k2, jnp.asarray(xyz))
+    idx1 = ball_query_oracle(r1, k1, xyz, xyz)
+    idx2 = ball_query_oracle(r2, k2, xyz, xyz)
     for b in range(2):
-        for p in range(50):
-            c = min(cnt[b, p], k)
-            if cnt[b, p] == 0:
-                assert (got[b, p] == 0).all()
-                continue
-            assert mask[b, p, got[b, p, :c]].all()  # all valid slots in-radius
-            assert (got[b, p, c:] == got[b, p, 0]).all()  # pad-with-first
+        np.testing.assert_allclose(np.asarray(g2)[b], xyz[b][idx2[b]], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1)[b], xyz[b][idx1[b]], atol=1e-6)
 
 
 def test_ball_query_empty_ball(rng):

@@ -50,33 +50,17 @@ def decode_segmentation(seg: dict) -> np.ndarray:
     counts = seg["counts"]
     if isinstance(counts, list):
         return rle_to_binary_mask(seg)
-    try:
-        from pycocotools import mask as cocomask  # optional
-
-        return cocomask.decode(seg).astype(bool)
-    except ImportError:
-        return _decode_compressed_rle(seg)
+    return _decode_compressed_rle(seg)
 
 
 def _decode_compressed_rle(seg: dict) -> np.ndarray:
-    """Decode COCO's LEB128-style compressed RLE without pycocotools."""
+    """Decode COCO's LEB128-style compressed RLE (native fast path)."""
+    from unopose_tpu.data import native
+
     s = seg["counts"]
     if isinstance(s, bytes):
         s = s.decode("ascii")
-    counts, i = [], 0
-    while i < len(s):
-        x, k, more = 0, 0, True
-        while more:
-            c = ord(s[i]) - 48
-            x |= (c & 0x1F) << (5 * k)
-            more = bool(c & 0x20)
-            i += 1
-            k += 1
-            if not more and (c & 0x10):
-                x |= -1 << (5 * k)
-        if len(counts) > 2:
-            x += counts[-2]
-        counts.append(x)
+    counts = native.rle_decompress_counts(s)
     return rle_to_binary_mask({"size": seg["size"], "counts": counts})
 
 

@@ -38,14 +38,11 @@ def rle_to_binary_mask(rle: dict) -> np.ndarray:
     """Uncompressed COCO-style RLE {size: (H, W), counts: [...]} -> bool (H, W).
 
     Fortran (column-major) order, runs alternate background/foreground
-    (reference data_utils.py:168-186)."""
-    flat = np.zeros(int(np.prod(rle["size"])), dtype=bool)
-    start = 0
-    for i, count in enumerate(rle["counts"]):
-        if i % 2 == 1:
-            flat[start : start + count] = True
-        start += count
-    return flat.reshape(*rle["size"], order="F")
+    (reference data_utils.py:168-186). Decoded by the native host-ops
+    library when available (data/native.py)."""
+    from unopose_tpu.data import native
+
+    return native.rle_decode(rle["counts"], rle["size"])
 
 
 def binary_mask_to_rle(mask: np.ndarray) -> dict:

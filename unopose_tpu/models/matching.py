@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from unopose_tpu.models.attention import TransformerLayer
 from unopose_tpu.models.transformer import GeometricTransformer, SparseToDenseTransformer
-from unopose_tpu.ops.ball_query import ball_query, group_points
+from unopose_tpu.ops.ball_query import ball_query, group_points, two_scale_group
 from unopose_tpu.ops.geometry import compute_feature_similarity
 from unopose_tpu.ops.lrf import batch_lrf
 
@@ -134,9 +134,7 @@ class FinePositionalEncoding(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
 
-    def _scale(self, pts, r, nsample, mlp_dims, train, name):
-        idx = ball_query(r, nsample, pts, pts)
-        grouped = group_points(pts, idx)  # (B, P, S, 3) absolute
+    def _scale(self, pts, grouped, r, mlp_dims, train, name):
         rel = grouped - pts[:, :, None, :]
         feats = []
         if self.use_xyz:
@@ -158,8 +156,9 @@ class FinePositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, pts: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pts = pts.astype(jnp.float32)
-        f1 = self._scale(pts, self.r1, self.nsample1, (32, 64, 128), train, "mlp1")
-        f2 = self._scale(pts, self.r2, self.nsample2, (32, 64, 128), train, "mlp2")
+        grouped1, grouped2 = two_scale_group(self.r1, self.nsample1, self.r2, self.nsample2, pts)
+        f1 = self._scale(pts, grouped1, self.r1, (32, 64, 128), train, "mlp1")
+        f2 = self._scale(pts, grouped2, self.r2, (32, 64, 128), train, "mlp2")
         feat = jnp.concatenate([f1, f2], axis=-1)
         return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
 

@@ -1,0 +1,103 @@
+// Native host-side data-loading kernels.
+//
+// The reference's native code is its CUDA pointnet2 extension (rebuilt as
+// Pallas kernels in ops/); the host-side pipeline it relies on (RLE mask
+// decoding, mask->index extraction, depth backprojection) runs as python
+// loops / numpy passes in its dataloader workers
+// (core/unopose/utils/data_utils.py:168-186,216-229). Those are this
+// framework's per-sample host hot path, so they live here as a small C++
+// library loaded via ctypes (no pybind11 dependency).
+//
+// Build: cc -O3 -shared -fPIC hostops.cpp -o libhostops.so  (see build.sh)
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Uncompressed COCO-style RLE -> bool mask, Fortran (column-major) order.
+// counts alternate background/foreground runs. out must hold `total` bytes.
+void rle_decode(const int64_t* counts, int64_t n_counts, uint8_t* out, int64_t total) {
+    std::memset(out, 0, (size_t)total);
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n_counts && pos < total; ++i) {
+        int64_t run = counts[i];
+        if (run < 0) run = 0;
+        if (pos + run > total) run = total - pos;
+        if (i & 1) std::memset(out + pos, 1, (size_t)run);
+        pos += run;
+    }
+}
+
+// COCO compressed (LEB128-style char) RLE -> counts. Returns count of runs
+// written (<= max_counts), or -1 on malformed input.
+int64_t rle_decompress_counts(const char* s, int64_t len, int64_t* counts, int64_t max_counts) {
+    int64_t m = 0, i = 0;
+    while (i < len && m < max_counts) {
+        int64_t x = 0;
+        int k = 0;
+        bool more = true;
+        while (more) {
+            if (i >= len) return -1;
+            int64_t c = (int64_t)(s[i]) - 48;
+            x |= (c & 0x1f) << (5 * k);
+            more = (c & 0x20) != 0;
+            ++i;
+            ++k;
+            if (!more && (c & 0x10)) x |= (int64_t)(-1) << (5 * k);
+        }
+        if (m > 2) x += counts[m - 2];
+        counts[m++] = x;
+    }
+    return m;
+}
+
+// Flat nonzero indices (row-major) of a (h, w) uint8 mask -> idx, returns count.
+int64_t mask_nonzero(const uint8_t* mask, int64_t n, int64_t* idx) {
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (mask[i]) idx[cnt++] = i;
+    }
+    return cnt;
+}
+
+// Backproject selected pixels of a depth crop to camera-space points.
+// depth: (h, w) float32 crop starting at (y0, x0) of the full image;
+// choose: flat row-major indices into the crop; K = [fx, fy, cx, cy].
+void backproject_choose(const float* depth, int64_t h, int64_t w, int64_t y0, int64_t x0,
+                        const int64_t* choose, int64_t n, float fx, float fy, float cx, float cy,
+                        float* out_xyz) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t idx = choose[i];
+        int64_t r = idx / w, c = idx % w;
+        float z = depth[idx];
+        out_xyz[3 * i + 0] = ((float)(c + x0) - cx) * z / fx;
+        out_xyz[3 * i + 1] = ((float)(r + y0) - cy) * z / fy;
+        out_xyz[3 * i + 2] = z;
+    }
+}
+
+// Tight bbox of a (h, w) uint8 mask: writes [rmin, rmax, cmin, cmax)
+// (exclusive max). Returns 0 if the mask is empty, else 1.
+int bbox_of_mask(const uint8_t* mask, int64_t h, int64_t w, int64_t* out) {
+    int64_t rmin = h, rmax = -1, cmin = w, cmax = -1;
+    for (int64_t r = 0; r < h; ++r) {
+        const uint8_t* row = mask + r * w;
+        for (int64_t c = 0; c < w; ++c) {
+            if (row[c]) {
+                if (r < rmin) rmin = r;
+                if (r > rmax) rmax = r;
+                if (c < cmin) cmin = c;
+                if (c > cmax) cmax = c;
+            }
+        }
+    }
+    if (rmax < 0) return 0;
+    out[0] = rmin;
+    out[1] = rmax + 1;
+    out[2] = cmin;
+    out[3] = cmax + 1;
+    return 1;
+}
+
+}  // extern "C"

@@ -22,45 +22,43 @@ import jax.numpy as jnp
 from unopose_tpu.ops.geometry import pairwise_sqdist
 
 
+def _first_k_in_radius(mask: jnp.ndarray, nsample: int) -> jnp.ndarray:
+    """First-``nsample`` True positions per row of (..., N) mask, in index
+    order, padded with the first True position (0 for all-False rows).
+
+    Encodes (in-radius, index) into a SINGLE sortable int — in-radius points
+    get (2N - i), the rest (N - i) — sorts values only (a single-array sort;
+    a key+index lax.top_k sorts twice the data), and decodes indices from
+    the sorted values. No gather, no argsort."""
+    N = mask.shape[-1]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    key = jnp.where(mask, 2 * N - iota, N - iota)
+    top = -jnp.sort(-key, axis=-1)[..., :nsample]  # descending, first nsample
+    idx = jnp.where(top > N, 2 * N - top, N - top)
+    cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)[..., None]
+    slot = jnp.arange(nsample, dtype=jnp.int32)
+    first = jnp.where(cnt > 0, idx[..., :1], 0)
+    return jnp.where(slot < cnt, idx, first).astype(jnp.int32)
+
+
 def ball_query(
-    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray, exact: bool = False
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray, exact: bool = True
 ) -> jnp.ndarray:
     """Args:
         radius: ball radius.
         nsample: max neighbors per ball.
         xyz: (B, N, 3) source points.
         new_xyz: (B, P, 3) query centers.
-        exact: use exact lax.top_k (a full per-row sort on TPU — slow).
-            The default uses the TPU-optimized ``approx_max_k``
-            (recall 0.99); when a ball holds more than ``nsample`` points a
-            few of them may be swapped for other in-radius points, which is
-            immaterial downstream (the neighborhood feeds BN + max-pool).
     Returns:
-        (B, P, nsample) int32 neighbor indices.
+        (B, P, nsample) int32 neighbor indices — first <= nsample in-radius
+        points in index order, padded with the first (CUDA reference
+        semantics, ball_query_gpu.cu:14-49).
     """
+    del exact  # the encoded single-array sort is exact and the fast path
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
-    N = xyz.shape[1]
     d2 = pairwise_sqdist(new_xyz, xyz)  # (B, P, N)
-    mask = d2 < radius * radius
-    # keys: in-radius points get (2N - i) in (N, 2N] (descending in index i);
-    # out-of-radius get (N - i) in (0, N]. top-k picks in-radius first, by
-    # ascending original index.
-    iota = jnp.arange(N, dtype=jnp.int32)
-    key = jnp.where(mask, 2 * N - iota, N - iota)
-    if exact:
-        _, idx = jax.lax.top_k(key, nsample)  # positions == indices
-    else:
-        _, idx = jax.lax.approx_max_k(key.astype(jnp.float32), nsample, recall_target=0.99)
-        # approx_max_k does not guarantee descending order; restore it so
-        # slot order (and the pad-with-first choice) stays deterministic.
-        order = jnp.argsort(-jnp.take_along_axis(key, idx, axis=-1), axis=-1)
-        idx = jnp.take_along_axis(idx, order, axis=-1)
-    cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)[..., None]  # (B, P, 1)
-    slot = jnp.arange(nsample, dtype=jnp.int32)
-    first = jnp.where(cnt > 0, idx[..., :1], 0)  # first in-radius index or 0
-    idx = jnp.where(slot < cnt, idx, first)
-    return idx.astype(jnp.int32)
+    return _first_k_in_radius(d2 < radius * radius, nsample)
 
 
 def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +69,45 @@ def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     from unopose_tpu.ops.fps import gather_points
 
     return gather_points(features, idx)
+
+
+def two_scale_group(
+    r1: float,
+    k1: int,
+    r2: float,
+    k2: int,
+    pts: jnp.ndarray,
+):
+    """Grouped absolute neighbor coordinates for two nested ball scales
+    around every point of the cloud itself (the fine PE pattern,
+    reference oneref_predator_fine_point_matching.py:159-178 with
+    new_xyz == xyz). Requires r1 < r2, k1 <= k2.
+
+    The expensive parts are shared: ONE (B, N, N) distance matrix and ONE
+    N-wide sort (scale 2); scale 1 is selected from scale 2's slots with a
+    cheap k2-wide sort. Deviation from running two independent ball queries:
+    scale 1 candidates are limited to scale 2's first-k2 in-radius set — they
+    can only differ when a ball holds more than k2 closer-indexed r2
+    neighbors before the k1-th r1 neighbor, and the neighborhood feeds
+    BN + max-pool downstream.
+
+    Returns (grouped1 (B,N,k1,3), grouped2 (B,N,k2,3)).
+    """
+    pts = pts.astype(jnp.float32)
+    B, N, _ = pts.shape
+    d2 = pairwise_sqdist(pts, pts)
+    idx2 = _first_k_in_radius(d2 < r2 * r2, k2)  # (B, N, k2)
+    grouped2 = group_points(pts, idx2)  # (B, N, k2, 3)
+
+    rel2 = grouped2 - pts[:, :, None, :]
+    d2_sel = jnp.sum(rel2 * rel2, axis=-1)  # (B, N, k2)
+    # slot validity: padded slots duplicate the first index; they are
+    # in-radius for r2 but must not seed extra scale-1 candidates beyond the
+    # true ones — duplicates of an in-radius first point are harmless for
+    # the max-pool, so keep the plain radius test.
+    idx1_slots = _first_k_in_radius(d2_sel < r1 * r1, k1)  # (B, N, k1) slots into k2
+    grouped1 = group_points(grouped2.reshape(B * N, k2, 3), idx1_slots.reshape(B * N, k1)).reshape(B, N, k1, 3)
+    return grouped1, grouped2
 
 
 def query_and_group(
