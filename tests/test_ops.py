@@ -240,3 +240,60 @@ def test_aug_pose_noise_properties(rng):
     assert np.allclose(R @ R.transpose(0, 2, 1), np.eye(3), atol=1e-5)
     assert (t[:, 2] >= 1e-6).all()
     assert np.abs(t - gt_t).max() <= 0.8 + 1e-6
+
+
+def test_batch_lrf_planar_matches_tensor(rng):
+    from unopose_tpu.ops.lrf import batch_lrf_planar
+
+    centers = rng.normal(size=(2, 16, 3)).astype(np.float32)
+    grouped = centers[:, :, None, :] + 0.05 * rng.normal(size=(2, 16, 12, 3)).astype(np.float32)
+    want = np.asarray(batch_lrf(jnp.asarray(centers), jnp.asarray(grouped), 0.1))
+    o0, o1, o2 = batch_lrf_planar(
+        tuple(jnp.asarray(centers[..., i]) for i in range(3)),
+        tuple(jnp.asarray(grouped[..., i]) for i in range(3)),
+        0.1,
+    )
+    got = np.stack([np.asarray(o0), np.asarray(o1), np.asarray(o2)], axis=-1)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_smallest_eigvec_planar_matches_tensor(rng):
+    from unopose_tpu.ops.eig3 import smallest_eigvec_sym3_planar
+
+    A = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    A = A @ A.transpose(0, 2, 1)
+    want = np.asarray(smallest_eigvec_sym3(jnp.asarray(A)))
+    v0, v1, v2 = smallest_eigvec_sym3_planar(
+        jnp.asarray(A[:, 0, 0]), jnp.asarray(A[:, 0, 1]), jnp.asarray(A[:, 0, 2]),
+        jnp.asarray(A[:, 1, 1]), jnp.asarray(A[:, 1, 2]), jnp.asarray(A[:, 2, 2]),
+    )
+    got = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], axis=-1)
+    # eigenvectors defined up to sign: align then compare
+    sign = np.sign(np.sum(got * want, axis=-1, keepdims=True))
+    np.testing.assert_allclose(got * sign, want, atol=1e-3)
+
+
+def test_two_scale_group_planar_matches_tensor(rng):
+    from unopose_tpu.ops.ball_query import two_scale_group, two_scale_group_planar
+
+    xyz = rng.uniform(-1, 1, size=(2, 100, 3)).astype(np.float32)
+    g1t, g2t = two_scale_group(0.3, 8, 0.6, 64, jnp.asarray(xyz))
+    g1p, g2p = two_scale_group_planar(0.3, 8, 0.6, 64, jnp.asarray(xyz))
+    np.testing.assert_allclose(np.stack([np.asarray(c) for c in g1p], -1), np.asarray(g1t), atol=1e-6)
+    np.testing.assert_allclose(np.stack([np.asarray(c) for c in g2p], -1), np.asarray(g2t), atol=1e-6)
+
+
+def test_rotation_conversions_roundtrip(rng):
+    from unopose_tpu.ops.rotation import axangle_to_mat, mat_to_axangle, mat_to_quat
+    from unopose_tpu.ops.procrustes import quat_to_rotmat
+
+    q = rng.normal(size=(32, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q *= np.sign(q[:, :1] + 1e-12)  # canonical w >= 0
+    R = quat_to_rotmat(jnp.asarray(q))
+    q2 = np.asarray(mat_to_quat(R))
+    np.testing.assert_allclose(np.abs(np.sum(q2 * q, axis=-1)), 1.0, atol=1e-4)
+
+    axis, angle = mat_to_axangle(R)
+    R2 = axangle_to_mat(axis, angle)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-3)

@@ -119,6 +119,19 @@ def run_eval(model, cfg, out_dir):
     os.makedirs(out_dir, exist_ok=True)
     run_inference(infer_fn, dataset, save_path, instance_batch_size=cfg.test.instance_batch_size)
 
+    # score the CSV with the built-in BOP19 evaluator when GT is on disk
+    # (reference engine.py:74-84 shells out to the vendored bop_toolkit here)
+    import json
+
+    from unopose_tpu.eval.bop_eval import evaluate_bop
+
+    dataset_dir = osp.join(cfg.dataloader.test.data_dir, name)
+    if osp.exists(osp.join(dataset_dir, "test_targets_bop19.json")):
+        scores = evaluate_bop(save_path, dataset_dir, split=cfg.bop_eval.get("split", "test"))
+        out_json = save_path.replace(".csv", "_scores.json")
+        json.dump(scores, open(out_json, "w"), indent=2)
+        print(json.dumps({k: v for k, v in scores.items() if k in ("AR", "n_images")}))
+
 
 if __name__ == "__main__":
     main()

@@ -18,9 +18,9 @@ import jax.numpy as jnp
 
 from unopose_tpu.models.attention import TransformerLayer
 from unopose_tpu.models.transformer import GeometricTransformer, SparseToDenseTransformer
-from unopose_tpu.ops.ball_query import ball_query, group_points, two_scale_group
+from unopose_tpu.ops.ball_query import ball_group_planar, ball_query, group_points
 from unopose_tpu.ops.geometry import compute_feature_similarity
-from unopose_tpu.ops.lrf import batch_lrf
+from unopose_tpu.ops.lrf import batch_lrf, batch_lrf_planar
 
 
 def _block_outputs(atten, scores, n1: int):
@@ -134,32 +134,66 @@ class FinePositionalEncoding(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
 
-    def _scale(self, pts, grouped, r, mlp_dims, train, name):
-        rel = grouped - pts[:, :, None, :]
-        feats = []
+    def _scale(self, center, grouped, r, mlp_dims, train, name, mask=None):
+        """Channel-first shared MLP over one neighborhood scale.
+
+        center: (x, y, z) each (B, P); grouped: (gx, gy, gz) each (B, P, S).
+        Channels live on a leading (sublane) axis — exactly the reference's
+        Conv2d (B, C, npoint, nsample) layout, which is also the TPU-tiled
+        one; a trailing width-3/6 channel axis wastes ~98% of each register
+        tile and made this block the single largest cost in the profile.
+        ``mask`` (B, P, S) restricts the neighborhood (masked LRF + masked
+        max-pool). Returns (B, d_last, P) after max-pooling over samples.
+        """
+        x, y, z = center
+        rel = tuple(g - c[..., None] for g, c in zip(grouped, (x, y, z)))
+        chans = []
         if self.use_xyz:
-            feats.append(rel)
+            chans += list(rel)
         if self.use_lrf:
-            feats.append(batch_lrf(pts, grouped, r))
+            chans += list(batch_lrf_planar(center, grouped, r, mask=mask))
         else:
-            feats.append(rel)
-        x = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+            chans += list(rel)
+        h = jnp.stack(chans, axis=1)  # (B, C, P, S)
         for i, d in enumerate(mlp_dims):
-            x = nn.Dense(d, use_bias=not self.use_bn, dtype=jnp.float32, name=f"{name}_fc{i}")(x)
+            cin = h.shape[1]
+            W = self.param(f"{name}_fc{i}_kernel", nn.initializers.he_normal(), (cin, d))
+            h = jnp.einsum("bcps,cd->bdps", h, W)
             if self.use_bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name=f"{name}_bn{i}"
-                )(x)
-            x = nn.relu(x)
-        return jnp.max(x, axis=2)  # max over neighbors -> (B, P, d)
+                h = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis=1,
+                    dtype=jnp.float32,
+                    name=f"{name}_bn{i}",
+                )(h)
+            else:
+                h = h + self.param(f"{name}_fc{i}_bias", nn.initializers.zeros, (d,))[None, :, None, None]
+            h = nn.relu(h)
+        if mask is not None:
+            h = jnp.where(mask[:, None, :, :], h, -jnp.inf)
+        return jnp.max(h, axis=3)  # max over samples -> (B, d, P)
 
     @nn.compact
     def __call__(self, pts: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """One grouping serves both scales: scale 1 (r1 < r2) is the masked
+        subset of scale 2's neighborhood — a max-pooled MLP is insensitive
+        to the reference's pad-with-duplicates, and the self point
+        (distance 0) keeps every scale-1 mask non-empty whenever the point
+        itself made it into the scale-2 slots. Skips the second (N-wide
+        sort + 2M-row gather) query entirely."""
         pts = pts.astype(jnp.float32)
-        grouped1, grouped2 = two_scale_group(self.r1, self.nsample1, self.r2, self.nsample2, pts)
-        f1 = self._scale(pts, grouped1, self.r1, (32, 64, 128), train, "mlp1")
-        f2 = self._scale(pts, grouped2, self.r2, (32, 64, 128), train, "mlp2")
-        feat = jnp.concatenate([f1, f2], axis=-1)
+        center = (pts[..., 0], pts[..., 1], pts[..., 2])
+        g2, d2_sel, valid2 = ball_group_planar(self.r2, self.nsample2, pts)
+        mask1 = (d2_sel < self.r1 * self.r1) & valid2
+        # guard: if no scale-2 slot is within r1, fall back to slot 0
+        empty = ~jnp.any(mask1, axis=-1, keepdims=True)
+        mask1 = mask1 | (empty & (jnp.arange(self.nsample2) == 0))
+        f1 = self._scale(center, g2, self.r1, (32, 64, 128), train, "mlp1", mask=mask1)
+        f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2")
+        feat = jnp.concatenate([f1, f2], axis=1)  # (B, 256, P)
+        feat = jnp.swapaxes(feat, 1, 2)  # (B, P, 256)
         return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
 
 

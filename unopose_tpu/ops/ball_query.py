@@ -33,7 +33,10 @@ def _first_k_in_radius(mask: jnp.ndarray, nsample: int) -> jnp.ndarray:
     N = mask.shape[-1]
     iota = jnp.arange(N, dtype=jnp.int32)
     key = jnp.where(mask, 2 * N - iota, N - iota)
-    top = -jnp.sort(-key, axis=-1)[..., :nsample]  # descending, first nsample
+    # keys are unique, so an unstable single-operand sort suffices (a stable
+    # jnp.sort pairs the operand with an iota and sorts twice the data)
+    top = jax.lax.sort(-key, dimension=-1, is_stable=False)[..., :nsample]
+    top = -top  # descending, first nsample
     idx = jnp.where(top > N, 2 * N - top, N - top)
     cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)[..., None]
     slot = jnp.arange(nsample, dtype=jnp.int32)
@@ -108,6 +111,69 @@ def two_scale_group(
     idx1_slots = _first_k_in_radius(d2_sel < r1 * r1, k1)  # (B, N, k1) slots into k2
     grouped1 = group_points(grouped2.reshape(B * N, k2, 3), idx1_slots.reshape(B * N, k1)).reshape(B, N, k1, 3)
     return grouped1, grouped2
+
+
+def two_scale_group_planar(
+    r1: float,
+    k1: int,
+    r2: float,
+    k2: int,
+    pts: jnp.ndarray,
+):
+    """Channel-planar variant of ``two_scale_group``: returns the grouped
+    neighbor coordinates as separate x/y/z arrays of shape (B, N, k) so the
+    downstream LRF / MLP math keeps (points, samples) in the TPU-tiled minor
+    dims (a trailing width-3 axis wastes ~98% of each (8, 128) tile).
+
+    Returns ((g1x, g1y, g1z), (g2x, g2y, g2z)).
+
+    Gathers run in (rows, 3) tensor form (a width-1 planar gather is 3x the
+    row fetches) and are split into planes with ONE minor->major transpose
+    each (3 strided minor-dim slices cost ~3x more).
+    """
+    from unopose_tpu.ops.fps import gather_points
+
+    pts = pts.astype(jnp.float32)
+    B, N, _ = pts.shape
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    d2 = pairwise_sqdist(pts, pts)
+    idx2 = _first_k_in_radius(d2 < r2 * r2, k2)  # (B, N, k2)
+    g2t = gather_points(pts, idx2)  # (B, N, k2, 3)
+    g2p = jnp.moveaxis(g2t, 3, 1)  # (B, 3, N, k2): one transposing copy
+    g2 = (g2p[:, 0], g2p[:, 1], g2p[:, 2])
+
+    d2_sel = (g2[0] - x[..., None]) ** 2 + (g2[1] - y[..., None]) ** 2 + (g2[2] - z[..., None]) ** 2
+    idx1 = _first_k_in_radius(d2_sel < r1 * r1, k1)  # (B, N, k1) slots into k2
+    g1t = gather_points(g2t.reshape(B * N, k2, 3), idx1.reshape(B * N, k1)).reshape(B, N, k1, 3)
+    g1p = jnp.moveaxis(g1t, 3, 1)
+    return (g1p[:, 0], g1p[:, 1], g1p[:, 2]), g2
+
+
+def ball_group_planar(radius: float, nsample: int, pts: jnp.ndarray):
+    """One ball-query grouping of the cloud around its own points, returned
+    channel-planar, plus squared neighbor distances and slot validity.
+
+    Returns ((gx, gy, gz) each (B, N, S), d2_sel (B, N, S), valid (B, N, S)).
+    ``valid`` marks slots below the in-radius count (padded slots duplicate
+    the first neighbor and are valid for max-pool but excluded from masks).
+    """
+    from unopose_tpu.ops.fps import gather_points
+
+    pts = pts.astype(jnp.float32)
+    B, N, _ = pts.shape
+    d2 = pairwise_sqdist(pts, pts)
+    mask = d2 < radius * radius
+    idx = _first_k_in_radius(mask, nsample)  # (B, N, S)
+    cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)
+    valid = jnp.arange(nsample, dtype=jnp.int32) < jnp.minimum(cnt, nsample)[..., None]
+    gt = gather_points(pts, idx)  # (B, N, S, 3)
+    gp = jnp.moveaxis(gt, 3, 1)  # one transposing copy
+    planes = (gp[:, 0], gp[:, 1], gp[:, 2])
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    d2_sel = (
+        (planes[0] - x[..., None]) ** 2 + (planes[1] - y[..., None]) ** 2 + (planes[2] - z[..., None]) ** 2
+    )
+    return planes, d2_sel, valid
 
 
 def query_and_group(

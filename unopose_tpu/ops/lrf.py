@@ -83,6 +83,81 @@ def global_lrf(pts: jnp.ndarray, r_lrf: jnp.ndarray | None = None) -> jnp.ndarra
     return jnp.einsum("...ij,...mj->...mi", lrf, rel) / r_lrf[..., None, None]
 
 
+def batch_lrf_planar(center, grouped, r_lrf: float, mask=None):
+    """Channel-planar per-neighborhood LRF: same math as ``batch_lrf`` but
+    with xyz given as separate arrays so every tensor keeps (points, samples)
+    in the TPU-tiled minor dims (a trailing xyz axis of width 3 wastes ~98%
+    of each (8, 128) register tile).
+
+    Args:
+        center: (cx, cy, cz), each (B, P).
+        grouped: (gx, gy, gz), each (B, P, M) absolute neighbor coords.
+        r_lrf: scalar radius.
+        mask: optional (B, P, M) bool — restrict the neighborhood to the
+            masked subset (all moments/votes/sums masked; must have >= 1
+            True per row). Lets a smaller-radius scale reuse a larger
+            scale's gathered group without a second gather.
+    Returns:
+        (o0, o1, o2): LRF coordinates of each neighbor, each (B, P, M),
+        scaled by 1/r_lrf.
+    """
+    from unopose_tpu.ops.eig3 import smallest_eigvec_sym3_planar
+
+    cx, cy, cz = (c.astype(jnp.float32)[..., None] for c in center)
+    gx, gy, gz = (g.astype(jnp.float32) for g in grouped)
+    rx, ry, rz = gx - cx, gy - cy, gz - cz  # rel = p_i - center, (B, P, M)
+
+    if mask is None:
+        mean = lambda t: jnp.mean(t, axis=-1)
+        msum = lambda t: jnp.sum(t, axis=-1)
+        m = None
+    else:
+        m = mask.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        mean = lambda t: jnp.sum(t * m, axis=-1) / cnt
+        msum = lambda t: jnp.sum(t * m, axis=-1)
+
+    # covariance (6 unique entries), mean over (masked) neighbors
+    a = mean(rx * rx)
+    b = mean(rx * ry)
+    c = mean(rx * rz)
+    d = mean(ry * ry)
+    e = mean(ry * rz)
+    f = mean(rz * rz)
+    z0, z1, z2 = smallest_eigvec_sym3_planar(a, b, c, d, e, f)  # (B, P)
+
+    # sign vote on (center - p) = -rel
+    cp = -(z0[..., None] * rx + z1[..., None] * ry + z2[..., None] * rz)
+    pos = (cp > 1e-3).astype(jnp.float32)
+    neg = (cp < -1e-3).astype(jnp.float32)
+    vote = msum(pos) - msum(neg)
+    sgn = jnp.where(vote < 0, -1.0, 1.0)
+    z0, z1, z2 = z0 * sgn, z1 * sgn, z2 * sgn
+
+    norm = z0[..., None] * rx + z1[..., None] * ry + z2[..., None] * rz  # z . rel
+    vix = rx - norm * z0[..., None]
+    viy = ry - norm * z1[..., None]
+    viz = rz - norm * z2[..., None]
+    x_l2 = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    w = (r_lrf - x_l2) ** 2 * (norm * norm)
+    vx = msum(w * vix)
+    vy = msum(w * viy)
+    vz = msum(w * viz)
+    vn = jnp.sqrt(vx * vx + vy * vy + vz * vz) + 1e-10
+    x0, x1, x2 = vx / vn, vy / vn, vz / vn
+
+    # y = x cross z
+    y0 = x1 * z2 - x2 * z1
+    y1 = x2 * z0 - x0 * z2
+    y2 = x0 * z1 - x1 * z0
+
+    inv_r = 1.0 / r_lrf
+    o0 = (x0[..., None] * rx + x1[..., None] * ry + x2[..., None] * rz) * inv_r
+    o1 = (y0[..., None] * rx + y1[..., None] * ry + y2[..., None] * rz) * inv_r
+    o2 = (z0[..., None] * rx + z1[..., None] * ry + z2[..., None] * rz) * inv_r
+    return o0, o1, o2
+
+
 def batch_lrf(centers: jnp.ndarray, grouped_pts: jnp.ndarray, r_lrf: float) -> jnp.ndarray:
     """Per-neighborhood LRF coordinates.
 

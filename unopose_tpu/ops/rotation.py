@@ -54,6 +54,63 @@ def rot_y(a: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def mat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (w, x, y, z) with w >= 0.
+
+    Branchless Shepperd-style formulation (numerically safe for all traces).
+    """
+    R = R.astype(jnp.float32)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    # four squared-magnitude candidates
+    qw2 = jnp.maximum(0.0, 1 + m00 + m11 + m22) / 4
+    qx2 = jnp.maximum(0.0, 1 + m00 - m11 - m22) / 4
+    qy2 = jnp.maximum(0.0, 1 - m00 + m11 - m22) / 4
+    qz2 = jnp.maximum(0.0, 1 - m00 - m11 + m22) / 4
+    qw = jnp.sqrt(qw2)
+    safe = jnp.maximum(4 * qw, 1e-8)
+    qx = jnp.where(qw > 1e-4, (m21 - m12) / safe, jnp.sqrt(qx2))
+    qy = jnp.where(qw > 1e-4, (m02 - m20) / safe, jnp.sqrt(qy2) * jnp.sign(m01 + 1e-30))
+    qz = jnp.where(qw > 1e-4, (m10 - m01) / safe, jnp.sqrt(qz2) * jnp.sign(m02 + 1e-30))
+    q = jnp.stack([qw, qx, qy, qz], axis=-1)
+    return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+
+
+def axangle_to_mat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: axis (..., 3) (normalized internally), angle (...,) rad."""
+    ax = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-12)
+    x, y, z = ax[..., 0], ax[..., 1], ax[..., 2]
+    zero = jnp.zeros_like(x)
+    K = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], -1),
+            jnp.stack([z, zero, -x], -1),
+            jnp.stack([-y, x, zero], -1),
+        ],
+        -2,
+    )
+    c, s = jnp.cos(angle)[..., None, None], jnp.sin(angle)[..., None, None]
+    return jnp.eye(3) + s * K + (1 - c) * jnp.matmul(K, K)
+
+
+def mat_to_axangle(R: jnp.ndarray):
+    """Rotation matrix -> (axis (..., 3), angle (...,))."""
+    q = mat_to_quat(R)
+    w = jnp.clip(q[..., 0], -1.0, 1.0)
+    angle = 2.0 * jnp.arccos(w)
+    s = jnp.sqrt(jnp.maximum(1.0 - w * w, 1e-12))
+    axis = q[..., 1:] / s[..., None]
+    axis = jnp.where(angle[..., None] < 1e-6, jnp.array([1.0, 0.0, 0.0]), axis)
+    return axis, angle
+
+
+def rotation_angle_deg(R1: jnp.ndarray, R2: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic angle between two rotations in degrees (pose metrics)."""
+    cos = (jnp.einsum("...ij,...ij->...", R1, R2) - 1.0) / 2.0
+    return jnp.degrees(jnp.arccos(jnp.clip(cos, -1.0, 1.0)))
+
+
 def random_so3(key: jax.Array, shape=()) -> jnp.ndarray:
     """Uniform-ish random rotations via Rx(a0) @ Ry(a1) @ Rz(a2), a ~ U[0, 2pi).
 
