@@ -114,3 +114,46 @@ def test_infer_jits(tiny_model):
 
     out = infer(variables, inputs, jax.random.PRNGKey(5))
     assert out["pred_R"].shape == (2, 3, 3)
+
+
+def test_fine_only_variant(rng):
+    """NetOneRef ablation: no coarse stage, identity init pose."""
+    from unopose_tpu.configs.main_cfg import get_tiny_cfg
+    from unopose_tpu.losses import process_loss
+    from unopose_tpu.models import compute_train_losses
+
+    cfg = get_tiny_cfg(IMG, NPTS, NCOARSE, NTEM)
+    cfg.model.fine_only = True
+    model = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.float32)
+    inputs = tiny_inputs(np.random.default_rng(3), B=2, train=True)
+    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, inputs, train=True)
+    assert "coarse_matching" not in variables["params"]
+    outputs, _ = model.apply(
+        variables, inputs, train=True, rngs={"sample": jax.random.PRNGKey(2)}, mutable=["batch_stats"]
+    )
+    assert "coarse_attens" not in outputs
+    terms = compute_train_losses(outputs, inputs, cfg.model)
+    assert all(not k.startswith("coarse") for k in terms)
+    assert np.isfinite(float(process_loss(terms)["loss"]))
+
+
+def test_soft_loss_and_circle_loss(rng):
+    from unopose_tpu.losses import compute_soft_loss, node_correspondence_targets, weighted_circle_loss
+
+    B, n1, n2 = 2, 10, 12
+    nodes1 = jnp.asarray(rng.normal(size=(B, n1, 3)).astype(np.float32))
+    nodes2 = jnp.asarray(rng.normal(size=(B, n2, 3)).astype(np.float32))
+    gt_r = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    gt_t = jnp.zeros((B, 3))
+    row, col = node_correspondence_targets(nodes1, nodes2, gt_r, gt_t)
+    assert row.shape == (B, n1, n2 + 1) and col.shape == (B, n2, n1 + 1)
+    np.testing.assert_allclose(np.asarray(row).sum(-1), 1.0, atol=1e-5)
+    atten = jnp.asarray(rng.normal(size=(B, n1 + 1, n2 + 1)).astype(np.float32))
+    out = compute_soft_loss([atten], row, col)
+    assert np.isfinite(float(out["coarse_soft_loss0"].sum()))
+
+    d = jnp.asarray(rng.uniform(0, 2, size=(B, n1, n2)).astype(np.float32))
+    pos = d < 0.3
+    neg = d > 1.5
+    loss = weighted_circle_loss(pos, neg, d, jnp.sqrt(jnp.where(pos, 0.5, 0.0)))
+    assert loss.shape == (B,) and np.isfinite(np.asarray(loss)).all()

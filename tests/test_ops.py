@@ -297,3 +297,27 @@ def test_rotation_conversions_roundtrip(rng):
     axis, angle = mat_to_axangle(R)
     R2 = axangle_to_mat(axis, angle)
     np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-3)
+
+
+def test_three_nn_interpolate(rng):
+    from unopose_tpu.ops.interpolate import interpolate_features, three_interpolate, three_nn
+
+    unknown = rng.normal(size=(2, 20, 3)).astype(np.float32)
+    known = rng.normal(size=(2, 8, 3)).astype(np.float32)
+    dist, idx = three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    d_full = np.linalg.norm(unknown[:, :, None] - known[:, None], axis=-1)
+    want = np.sort(d_full, axis=-1)[..., :3]
+    np.testing.assert_allclose(np.asarray(dist), want, atol=1e-5)
+
+    feats = rng.normal(size=(2, 8, 6)).astype(np.float32)
+    w = rng.uniform(size=(2, 20, 3)).astype(np.float32)
+    out = np.asarray(three_interpolate(jnp.asarray(feats), idx, jnp.asarray(w)))
+    for b in range(2):
+        for n in range(20):
+            expect = sum(w[b, n, j] * feats[b, np.asarray(idx)[b, n, j]] for j in range(3))
+            np.testing.assert_allclose(out[b, n], expect, atol=1e-4)
+
+    # constant features interpolate to the same constant
+    const = np.ones((2, 8, 4), np.float32) * 3.0
+    out2 = interpolate_features(jnp.asarray(unknown), jnp.asarray(known), jnp.asarray(const))
+    np.testing.assert_allclose(np.asarray(out2), 3.0, atol=1e-4)

@@ -148,6 +148,12 @@ def train_loop(
         first = next(data_iter)
         state = create_train_state(model, cfg, first, seed=cfg.train.get("seed", seed))
         data_iter = _chain_first(first, data_iter)
+    # resume (reference engine.py:102-111: checkpointer.resume_or_load)
+    if checkpointer is not None and hasattr(checkpointer, "latest_step"):
+        latest = checkpointer.latest_step()
+        if latest is not None and latest > start_iter:
+            state = checkpointer.restore(state)
+            start_iter = latest
     state = jax.device_put(state, replicated(mesh))
 
     step_fn = shard_train_step(make_train_step(model, cfg), mesh)

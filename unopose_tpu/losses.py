@@ -97,6 +97,79 @@ def compute_overlap_loss(
     return out
 
 
+def compute_soft_loss(
+    atten_list: Sequence[jnp.ndarray],
+    node_corr_norm_row: jnp.ndarray,
+    node_corr_norm_col: jnp.ndarray,
+    loss_str: str = "coarse_soft",
+) -> Dict[str, jnp.ndarray]:
+    """Optional node-overlap supervision (reference loss_utils.py:86-105):
+    soft cross entropy of the similarity logits against normalized node-
+    correspondence rows/cols. Off in the main config (softloss_weight=0).
+
+    node_corr_norm_row: (B, n1, n2+1) soft targets over [bg + n2] per row.
+    node_corr_norm_col: (B, n2, n1+1) soft targets over [bg + n1] per col.
+    """
+    out = {}
+    for idx, atten in enumerate(atten_list):
+        a = atten.astype(jnp.float32)
+        lp_row = jax.nn.log_softmax(a[:, 1:, :], axis=-1)  # (B, n1, n2+1)
+        l1 = -jnp.mean(jnp.sum(node_corr_norm_row * lp_row, axis=-1), axis=-1)
+        lp_col = jax.nn.log_softmax(jnp.swapaxes(a[:, :, 1:], 1, 2), axis=-1)  # (B, n2, n1+1)
+        l2 = -jnp.mean(jnp.sum(node_corr_norm_col * lp_col, axis=-1), axis=-1)
+        out[f"{loss_str}_loss{idx}"] = 0.5 * (l1 + l2)
+    return out
+
+
+def node_correspondence_targets(
+    nodes1: jnp.ndarray,
+    nodes2: jnp.ndarray,
+    gt_r: jnp.ndarray,
+    gt_t: jnp.ndarray,
+    sigma: float = 0.15,
+) -> tuple:
+    """Soft node-correspondence targets from GT-aligned node distances:
+    rows/cols of exp(-d^2 / sigma^2) with an extra bg column whose mass is
+    the non-overlap residual, normalized to distributions. A light-weight
+    stand-in for the GeoTransformer superpoint-overlap machinery the
+    reference's (disabled) soft loss consumes (data_utils.py:830-914)."""
+    gt_pts = jnp.matmul(nodes1 - gt_t[:, None, :], gt_r)
+    d2 = pairwise_sqdist(gt_pts, nodes2)
+    aff = jnp.exp(-d2 / (sigma * sigma))  # (B, n1, n2)
+    row_fg = aff / (jnp.sum(aff, axis=2, keepdims=True) + 1.0)
+    row_bg = 1.0 - jnp.sum(row_fg, axis=2, keepdims=True)
+    row = jnp.concatenate([row_bg, row_fg], axis=2)  # (B, n1, n2+1)
+    col_fg = jnp.swapaxes(aff, 1, 2) / (jnp.sum(aff, axis=1, keepdims=True).swapaxes(1, 2) + 1.0)
+    col_bg = 1.0 - jnp.sum(col_fg, axis=2, keepdims=True)
+    col = jnp.concatenate([col_bg, col_fg], axis=2)  # (B, n2, n1+1)
+    return row, col
+
+
+def weighted_circle_loss(
+    pos_masks: jnp.ndarray,
+    neg_masks: jnp.ndarray,
+    feat_dists: jnp.ndarray,
+    pos_scales: jnp.ndarray,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
+    pos_optimal: float = 0.1,
+    neg_optimal: float = 1.4,
+    log_scale: float = 24.0,
+) -> jnp.ndarray:
+    """Weighted circle loss (GeoTransformer; reference loss_utils.py:9-38
+    path). feat_dists (B, n, m); masks/scales same shape. Returns (B,)."""
+    d = feat_dists.astype(jnp.float32)
+    pos_w = jnp.maximum(d - pos_optimal, 0.0) * pos_scales
+    neg_w = jnp.maximum(neg_optimal - d, 0.0)
+    lse_pos = jax.nn.logsumexp(
+        jnp.where(pos_masks, log_scale * (d - pos_margin) * pos_w, -jnp.inf), axis=(-2, -1)
+    )
+    lse_neg = jax.nn.logsumexp(
+        jnp.where(neg_masks, log_scale * (neg_margin - d) * neg_w, -jnp.inf), axis=(-2, -1)
+    )
+    return jax.nn.softplus(lse_pos + lse_neg) / log_scale
+
+
 def process_loss(end_points: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Sum every coarse_*/fine_* key containing 'loss', clamp at 100, mean
     over batch (reference loss_utils.py:265-274)."""

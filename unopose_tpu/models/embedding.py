@@ -17,17 +17,22 @@ from unopose_tpu.ops.geometry import pairwise_sqdist
 
 
 def sinusoidal_embedding(indices: jnp.ndarray, d_model: int) -> jnp.ndarray:
-    """Sinusoidal embedding with interleaved (sin, cos) pairs.
+    """Sinusoidal embedding, concatenated layout: [sin_0..sin_{d/2-1},
+    cos_0..cos_{d/2-1}] of (index * 10000^(-2i/d)).
 
-    Matches reference transformer.py:258-284 layout: output[..., 2i] = sin,
-    output[..., 2i+1] = cos of (index * 10000^(-2i/d)).
+    The reference (transformer.py:258-284) interleaves (sin, cos) pairs;
+    since the embedding always feeds a learned projection, the layouts are
+    equivalent up to a fixed permutation of that projection's input rows —
+    concat avoids the interleaving shuffle, which showed up as (d/2, 2)
+    padding fusions in profiles. (A weight converter for reference matcher
+    checkpoints must permute proj_d/proj_a rows with
+    perm = [0, 2, ..., d-2, 1, 3, ..., d-1].)
     """
     if d_model % 2 != 0:
         raise ValueError(f"odd d_model: {d_model}")
     div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-np.log(10000.0) / d_model))
     om = indices[..., None].astype(jnp.float32) * div  # (..., d/2)
-    emb = jnp.stack([jnp.sin(om), jnp.cos(om)], axis=-1)  # (..., d/2, 2)
-    return emb.reshape(*indices.shape, d_model)
+    return jnp.concatenate([jnp.sin(om), jnp.cos(om)], axis=-1)
 
 
 class GeometricStructureEmbedding(nn.Module):
@@ -72,13 +77,22 @@ class GeometricStructureEmbedding(nn.Module):
         d_emb = sinusoidal_embedding(d_indices, self.hidden_dim)
         d_emb = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_d")(d_emb.astype(self.dtype))
 
-        a_emb = sinusoidal_embedding(a_indices, self.hidden_dim)
-        a_emb = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_a")(a_emb.astype(self.dtype))
-        if self.reduction_a == "max":
-            a_emb = jnp.max(a_emb, axis=3)
-        elif self.reduction_a == "mean":
-            a_emb = jnp.mean(a_emb, axis=3)
-        else:
-            raise ValueError(self.reduction_a)
+        # fold the k axis into a running reduction: the (B, N, N, k, D)
+        # angular tensor is ~1GB at the operating point; per-k passes keep
+        # the peak at 1/k and avoid its layout copies
+        proj_a = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_a")
+        a_emb = None
+        for kk in range(k):
+            e = proj_a(sinusoidal_embedding(a_indices[..., kk], self.hidden_dim).astype(self.dtype))
+            if a_emb is None:
+                a_emb = e
+            elif self.reduction_a == "max":
+                a_emb = jnp.maximum(a_emb, e)
+            elif self.reduction_a == "mean":
+                a_emb = a_emb + e
+            else:
+                raise ValueError(self.reduction_a)
+        if self.reduction_a == "mean":
+            a_emb = a_emb / k
 
         return d_emb + a_emb

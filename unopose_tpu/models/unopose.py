@@ -39,6 +39,10 @@ class UNOPose(nn.Module):
     fine_npoint: int = 2048
     use_ref_rad: bool = False
     test_coarse_only: bool = False
+    fine_only: bool = False  # NetOneRef ablation (reference
+    # oneref_grf_predator_fine_pose_estimation_model.py:10-76): skip the
+    # coarse stage; the fine stage sees the un-initialized cloud (identity
+    # init pose)
     feature_extraction: CN = None
     geo_embedding: CN = None
     coarse_point_matching: CN = None
@@ -53,6 +57,7 @@ class UNOPose(nn.Module):
             fine_npoint=cfg.fine_npoint,
             use_ref_rad=cfg.get("use_ref_rad", False),
             test_coarse_only=cfg.get("test_coarse_only", False),
+            fine_only=cfg.get("fine_only", False),
             feature_extraction=CN(cfg.feature_extraction),
             geo_embedding=CN(cfg.geo_embedding),
             coarse_point_matching=CN(cfg.coarse_point_matching),
@@ -158,20 +163,25 @@ class UNOPose(nn.Module):
         )
         geo_o = self.geo_embed(jnp.concatenate([bg_point, sparse_po_lrf], axis=1))
 
-        c_attens, c_scores, c_sals = self.coarse_matching(sparse_fm, geo_m, sparse_fo, geo_o, all_blocks=train)
-
         out = dict(
             radius=radius,
             dense_pm=dense_pm,
             dense_po=dense_po,
             sparse_pm=sparse_pm,
             sparse_po=sparse_po,
-            coarse_attens=c_attens,
-            coarse_scores=c_scores,
-            coarse_saliencies=c_sals,
         )
 
-        if train:
+        if self.fine_only:
+            B_ = dense_pm.shape[0]
+            init_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B_, 3, 3))
+            init_t = jnp.zeros((B_, 3), jnp.float32)
+        else:
+            c_attens, c_scores, c_sals = self.coarse_matching(sparse_fm, geo_m, sparse_fo, geo_o, all_blocks=train)
+            out.update(coarse_attens=c_attens, coarse_scores=c_scores, coarse_saliencies=c_sals)
+
+        if self.fine_only:
+            pass
+        elif train:
             gt_r = inputs["rotation_label"].astype(jnp.float32)
             gt_t = inputs["translation_label"].astype(jnp.float32) / (radius[:, None] + 1e-6)
             init_R, init_t = aug_pose_noise(self.make_rng("sample"), gt_r, gt_t)
@@ -222,19 +232,21 @@ def compute_train_losses(outputs: Dict[str, jnp.ndarray], inputs: Dict[str, jnp.
     gt_r = inputs["rotation_label"].astype(jnp.float32)
     gt_t = inputs["translation_label"].astype(jnp.float32) / (radius[:, None] + 1e-6)
 
-    cm = cfg.coarse_point_matching
-    terms = compute_overlap_loss(
-        outputs["coarse_attens"],
-        outputs["coarse_scores"],
-        outputs["coarse_saliencies"],
-        outputs["sparse_pm"],
-        outputs["sparse_po"],
-        gt_r,
-        gt_t,
-        predator_thres=cm.get("loss_predator_thres", 0.15),
-        dis_thres=cm.get("loss_dis_thres", 0.3),
-        loss_str="coarse_hard",
-    )
+    terms = {}
+    if "coarse_attens" in outputs:  # absent for the fine-only (NetOneRef) variant
+        cm = cfg.coarse_point_matching
+        terms = compute_overlap_loss(
+            outputs["coarse_attens"],
+            outputs["coarse_scores"],
+            outputs["coarse_saliencies"],
+            outputs["sparse_pm"],
+            outputs["sparse_po"],
+            gt_r,
+            gt_t,
+            predator_thres=cm.get("loss_predator_thres", 0.15),
+            dis_thres=cm.get("loss_dis_thres", 0.3),
+            loss_str="coarse_hard",
+        )
     fm = cfg.fine_point_matching
     terms.update(
         compute_overlap_loss(
