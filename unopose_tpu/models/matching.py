@@ -250,7 +250,11 @@ class FinePointMatching(nn.Module):
         B, n1 = p1.shape[:2]
         p1_aligned = jnp.matmul(p1 - init_t[:, None, :], init_R)
 
-        pe = FinePositionalEncoding(
+        # remat: the PE's (B, {32,64,128}, P, S) fp32 activations are ~3.5GB
+        # per cloud at the training operating point — recomputing the block
+        # in the backward pass (~50ms) trades that for headroom on a 16GB chip
+        RematPE = nn.remat(FinePositionalEncoding, static_argnums=(2,))
+        pe = RematPE(
             out_dim=self.hidden_dim,
             r1=self.pe_radius1,
             r2=self.pe_radius2,
