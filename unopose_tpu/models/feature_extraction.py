@@ -152,11 +152,11 @@ class ViTEncoderOneRef(nn.Module):
         dense_po: Optional[jnp.ndarray] = None,  # precomputed ref cloud (cache path)
         dense_fo: Optional[jnp.ndarray] = None,  # precomputed ref features
     ):
-        dense_fm = self.get_img_feats(rgb, rgb_choose)
         dense_pm = pts
 
         if dense_po is not None and dense_fo is not None:
             # onboarding-cache path (reference :252-263): features precomputed
+            dense_fm = self.get_img_feats(rgb, rgb_choose)
             mean = jnp.mean(dense_po, axis=1, keepdims=True)
             radius = jnp.max(jnp.linalg.norm(dense_po - mean, axis=-1), axis=-1)
             r = radius[:, None, None] + 1e-6
@@ -169,6 +169,19 @@ class ViTEncoderOneRef(nn.Module):
         dense_pm = dense_pm / r
         tem1_pts = tem1_pts / r
 
-        tem_feat = self.get_img_feats(tem1_rgb, tem1_choose)
+        dense_fm, tem_feat = self.encode_pair(rgb, rgb_choose, tem1_rgb, tem1_choose)
         dense_po, dense_fo = sample_pts_feats(tem1_pts, tem_feat, self.npoint)
         return dense_pm, dense_fm, dense_po, dense_fo, radius
+
+    def encode_pair(self, rgb, rgb_choose, tem1_rgb, tem1_choose):
+        """Run query + reference crops through the backbone as ONE batched
+        forward (the reference runs two sequential ViT passes,
+        oneref_feature_extraction.py:248,279) — halves per-call overheads and
+        improves MXU utilization at small batch."""
+        B, P1 = rgb_choose.shape
+        P2 = tem1_choose.shape[1]
+        imgs = jnp.concatenate([rgb, tem1_rgb], axis=0)
+        low, _ = self.rgb_net(imgs, upsample=False)
+        q_feat = bilinear_gather(low[:B], rgb_choose, rgb.shape[1])
+        t_feat = bilinear_gather(low[B:], tem1_choose, rgb.shape[1])
+        return q_feat, t_feat

@@ -127,7 +127,9 @@ def gather_points(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     batch_offs = (jnp.arange(B, dtype=jnp.int32) * N).reshape((B,) + (1,) * (idx.ndim - 1))
     gidx = idx.astype(jnp.int32) + batch_offs
     flat = data.reshape((B * N,) + tail)
-    return jnp.take(flat, gidx.reshape(-1), axis=0).reshape(idx.shape + tail)
+    # mode="clip": the default 'fill' adds a where-select pass over the whole
+    # gather output (tens of MB here); our indices are always in bounds
+    return jnp.take(flat, gidx.reshape(-1), axis=0, mode="clip").reshape(idx.shape + tail)
 
 
 def sample_pts_feats(pts: jnp.ndarray, feats: jnp.ndarray, npoint: int, return_index: bool = False):

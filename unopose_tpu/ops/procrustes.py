@@ -96,6 +96,58 @@ def top_eigvec_sym4(K: jnp.ndarray, n_squarings: int = 14) -> jnp.ndarray:
     return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 
 
+def _top_eigvec_sym4_planar(k_entries, n_squarings: int = 14):
+    """Planar repeated-squaring top eigenvector of symmetric 4x4 matrices.
+
+    k_entries: 10 arrays (k00,k01,k02,k03,k11,k12,k13,k22,k23,k33), each of
+    shape (...,). Identical math to ``top_eigvec_sym4`` but every entry is a
+    separate well-tiled array — a (..., 4, 4) tensor puts the 4x4 in the
+    tiled minor dims and wastes ~97% of each (8, 128) register tile (this
+    iteration alone cost ~29ms/batch in the tensor form).
+    """
+    a, b, c, d, e, f, g, h, i, j = (x.astype(jnp.float32) for x in k_entries)
+    fro = jnp.sqrt(a * a + e * e + h * h + j * j + 2 * (b * b + c * c + d * d + f * f + g * g + i * i)) + 1e-12
+    a, b, c, d, e, f, g, h, i, j = (x / fro for x in (a, b, c, d, e, f, g, h, i, j))
+    a, e, h, j = a + 1.2, e + 1.2, h + 1.2, j + 1.2
+
+    for _ in range(n_squarings):
+        na = a * a + b * b + c * c + d * d
+        nb = a * b + b * e + c * f + d * g
+        nc = a * c + b * f + c * h + d * i
+        nd = a * d + b * g + c * i + d * j
+        ne = b * b + e * e + f * f + g * g
+        nf = b * c + e * f + f * h + g * i
+        ng = b * d + e * g + f * i + g * j
+        nh = c * c + f * f + h * h + i * i
+        ni = c * d + f * g + h * i + i * j
+        nj = d * d + g * g + i * i + j * j
+        fro = jnp.sqrt(
+            na * na + ne * ne + nh * nh + nj * nj + 2 * (nb * nb + nc * nc + nd * nd + nf * nf + ng * ng + ni * ni)
+        ) + 1e-12
+        a, b, c, d, e, f, g, h, i, j = (x / fro for x in (na, nb, nc, nd, ne, nf, ng, nh, ni, nj))
+
+    # pick the largest-norm column of the (near rank-1) matrix
+    n0 = a * a + b * b + c * c + d * d
+    n1 = b * b + e * e + f * f + g * g
+    n2 = c * c + f * f + h * h + i * i
+    n3 = d * d + g * g + i * i + j * j
+    cols = (
+        (a, b, c, d),
+        (b, e, f, g),
+        (c, f, h, i),
+        (d, g, i, j),
+    )
+    best = jnp.argmax(jnp.stack([n0, n1, n2, n3]), axis=0)
+    v = [None] * 4
+    for comp in range(4):
+        val = cols[3][comp]
+        for cand in (2, 1, 0):
+            val = jnp.where(best == cand, cols[cand][comp], val)
+        v[comp] = val
+    q = jnp.stack(v, axis=-1)
+    return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+
+
 def kabsch_rotation(H: jnp.ndarray) -> jnp.ndarray:
     """Optimal rotation R maximizing sum_i w_i r_i . (R s_i) for H = sum_i w_i s_i r_i^T.
 
@@ -103,7 +155,23 @@ def kabsch_rotation(H: jnp.ndarray) -> jnp.ndarray:
     SVD solution V diag(1,1,det) U^T of the reference implementation
     (core/unopose/utils/model_utils.py:722-727) for full-rank H.
     """
-    q = top_eigvec_sym4(_davenport_K(H.astype(jnp.float32)))
+    H = H.astype(jnp.float32)
+    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    k_entries = (
+        Sxx + Syy + Szz,  # k00
+        Syz - Szy,  # k01
+        Szx - Sxz,  # k02
+        Sxy - Syx,  # k03
+        Sxx - Syy - Szz,  # k11
+        Sxy + Syx,  # k12
+        Szx + Sxz,  # k13
+        -Sxx + Syy - Szz,  # k22
+        Syz + Szy,  # k23
+        -Sxx - Syy + Szz,  # k33
+    )
+    q = _top_eigvec_sym4_planar(k_entries)
     return quat_to_rotmat(q)
 
 
