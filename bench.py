@@ -26,7 +26,8 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 import numpy as np
 
 A100_REFERENCE_PAIRS_PER_SEC = 120.0  # estimated; see module docstring
-BATCH = 16
+import os
+BATCH = int(os.environ.get("UNOPOSE_BENCH_BATCH", "16"))
 WARMUP = 2
 ITERS = 10
 

@@ -321,3 +321,36 @@ def test_three_nn_interpolate(rng):
     const = np.ones((2, 8, 4), np.float32) * 3.0
     out2 = interpolate_features(jnp.asarray(unknown), jnp.asarray(known), jnp.asarray(const))
     np.testing.assert_allclose(np.asarray(out2), 3.0, atol=1e-4)
+
+
+def test_gather_planar_matches_xla(rng):
+    from unopose_tpu.ops.gather_pallas import gather_planar
+
+    B, N, P, S = 2, 50, 30, 7
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+    idx = rng.integers(0, N, size=(B, P, S)).astype(np.int32)
+    gx, gy, gz = gather_planar(
+        jnp.asarray(pts[..., 0]), jnp.asarray(pts[..., 1]), jnp.asarray(pts[..., 2]), jnp.asarray(idx)
+    )
+    want = pts[np.arange(B)[:, None, None], idx]
+    np.testing.assert_allclose(np.stack([np.asarray(gx), np.asarray(gy), np.asarray(gz)], -1), want, atol=1e-6)
+
+
+def test_gather_planar_grad_is_scatter_add(rng):
+    from unopose_tpu.ops.gather_pallas import gather_planar
+
+    B, N, P, S = 1, 10, 4, 3
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+    idx = rng.integers(0, N, size=(B, P, S)).astype(np.int32)
+
+    def f(x):
+        gx, gy, gz = gather_planar(x, jnp.asarray(pts[..., 1]), jnp.asarray(pts[..., 2]), jnp.asarray(idx))
+        return jnp.sum(gx * jnp.arange(P * S).reshape(1, P, S))
+
+    gr = np.asarray(jax.grad(f)(jnp.asarray(pts[..., 0])))
+    want = np.zeros((B, N))
+    w = np.arange(P * S).reshape(P, S)
+    for p in range(P):
+        for s in range(S):
+            want[0, idx[0, p, s]] += w[p, s]
+    np.testing.assert_allclose(gr, want, atol=1e-4)

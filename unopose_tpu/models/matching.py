@@ -183,9 +183,15 @@ class FinePositionalEncoding(nn.Module):
         (distance 0) keeps every scale-1 mask non-empty whenever the point
         itself made it into the scale-2 slots. Skips the second (N-wide
         sort + 2M-row gather) query entirely."""
+        from jax.ad_checkpoint import checkpoint_name
+
         pts = pts.astype(jnp.float32)
         center = (pts[..., 0], pts[..., 1], pts[..., 2])
         g2, d2_sel, valid2 = ball_group_planar(self.r2, self.nsample2, pts)
+        # under remat (see FinePointMatching), keep the grouped neighborhoods
+        # as residuals: re-running the N-wide sort + 8M-row gather in the
+        # backward pass costs far more than storing (B, 3, P, S) fp32
+        g2 = tuple(checkpoint_name(g, "pe_grouped") for g in g2)
         mask1 = (d2_sel < self.r1 * self.r1) & valid2
         # guard: if no scale-2 slot is within r1, fall back to slot 0
         empty = ~jnp.any(mask1, axis=-1, keepdims=True)
@@ -252,8 +258,14 @@ class FinePointMatching(nn.Module):
 
         # remat: the PE's (B, {32,64,128}, P, S) fp32 activations are ~3.5GB
         # per cloud at the training operating point — recomputing the block
-        # in the backward pass (~50ms) trades that for headroom on a 16GB chip
-        RematPE = nn.remat(FinePositionalEncoding, static_argnums=(2,))
+        # in the backward pass trades that for headroom on a 16GB chip. The
+        # grouped neighborhoods are kept (checkpoint_name above) so the
+        # sort + gather are not re-run.
+        RematPE = nn.remat(
+            FinePositionalEncoding,
+            static_argnums=(2,),
+            policy=jax.checkpoint_policies.save_only_these_names("pe_grouped"),
+        )
         pe = RematPE(
             out_dim=self.hidden_dim,
             r1=self.pe_radius1,

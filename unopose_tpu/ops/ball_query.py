@@ -157,7 +157,7 @@ def ball_group_planar(radius: float, nsample: int, pts: jnp.ndarray):
     ``valid`` marks slots below the in-radius count (padded slots duplicate
     the first neighbor and are valid for max-pool but excluded from masks).
     """
-    from unopose_tpu.ops.fps import gather_points
+    from unopose_tpu.ops.gather_pallas import gather_planar
 
     pts = pts.astype(jnp.float32)
     B, N, _ = pts.shape
@@ -166,10 +166,8 @@ def ball_group_planar(radius: float, nsample: int, pts: jnp.ndarray):
     idx = _first_k_in_radius(mask, nsample)  # (B, N, S)
     cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)
     valid = jnp.arange(nsample, dtype=jnp.int32) < jnp.minimum(cnt, nsample)[..., None]
-    gt = gather_points(pts, idx)  # (B, N, S, 3)
-    gp = jnp.moveaxis(gt, 3, 1)  # one transposing copy
-    planes = (gp[:, 0], gp[:, 1], gp[:, 2])
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    planes = gather_planar(x, y, z, idx)  # 3 x (B, N, S), Pallas on TPU
     d2_sel = (
         (planes[0] - x[..., None]) ** 2 + (planes[1] - y[..., None]) ** 2 + (planes[2] - z[..., None]) ** 2
     )
