@@ -129,21 +129,26 @@ class ViTPyramid(nn.Module):
             tokens = tokens + jnp.concatenate([pos_full, pos_embed], axis=1).astype(self.dtype)
 
         norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
+        # pyramid taps at {d-1-i*(d//4)} (reference oneref_feature_extraction.py
+        # :34-41) are the ends of 4 consecutive segments: scan each segment
+        # and norm its carry — collecting every block's output just to keep 4
+        # costs a (depth, B, T, D) stack (150MB+ of dynamic-update-slices)
         n = self.depth // 4
-        taps = sorted(self.depth - 1 - i * n for i in range(4))  # e.g. [2, 5, 8, 11] at depth 12
-        ScannedBlocks = nn.scan(
-            ViTBlock,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            length=self.depth,
-            metadata_params={nn.meta.PARTITION_NAME: None},
-        )
-        _, xs = ScannedBlocks(
-            D, self.num_heads, self.mlp_ratio, self.init_values, dtype=self.dtype, name="blocks"
-        )(tokens, None)
-        # xs: (depth, B, T, D); tap + final-norm the 4 pyramid levels
-        # (order shallow -> deep, matching the reference's enumeration order)
-        outs: List[jnp.ndarray] = [norm(xs[i]).astype(self.dtype) for i in taps]
+        seg_lens = [self.depth - 3 * n] + [n] * 3
+        outs: List[jnp.ndarray] = []
+        for si, seg_len in enumerate(seg_lens):
+            Scanned = nn.scan(
+                ViTBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=seg_len,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            tokens, _ = Scanned(
+                D, self.num_heads, self.mlp_ratio, self.init_values, dtype=self.dtype, name=f"blocks{si}"
+            )(tokens, None)
+            outs.append(norm(tokens).astype(self.dtype))
+        # order shallow -> deep, matching the reference's enumeration order
         cls = outs[-1][:, 0, :]
         return outs, cls
 

@@ -88,35 +88,44 @@ def convert_timm_vit_to_flax(state_dict: dict, depth: int = 12, reg_tokens: int 
         params["reg_token"] = sd["reg_token"]
     params["pos_embed"] = sd["pos_embed"]
 
-    def stack(fmt):
-        return np.stack([sd[fmt.format(i)] for i in range(depth)])
+    # ViTPyramid scans 4 tap-aligned segments ("blocks0".."blocks3"); the
+    # segment lengths are [depth - 3*(depth//4)] + [depth//4] * 3
+    n = depth // 4
+    seg_lens = [depth - 3 * n] + [n] * 3
+    start = 0
+    for si, seg_len in enumerate(seg_lens):
+        rng_ids = range(start, start + seg_len)
+        start += seg_len
 
-    blocks = {
-        "norm1": {"scale": stack("blocks.{}.norm1.weight"), "bias": stack("blocks.{}.norm1.bias")},
-        "norm2": {"scale": stack("blocks.{}.norm2.weight"), "bias": stack("blocks.{}.norm2.bias")},
-        "qkv": {
-            "kernel": stack("blocks.{}.attn.qkv.weight").transpose(0, 2, 1),
-            "bias": stack("blocks.{}.attn.qkv.bias"),
-        },
-        "attn_proj": {
-            "kernel": stack("blocks.{}.attn.proj.weight").transpose(0, 2, 1),
-            "bias": stack("blocks.{}.attn.proj.bias"),
-        },
-        "mlp": {
-            "fc1": {
-                "kernel": stack("blocks.{}.mlp.fc1.weight").transpose(0, 2, 1),
-                "bias": stack("blocks.{}.mlp.fc1.bias"),
+        def stack(fmt, ids=rng_ids):
+            return np.stack([sd[fmt.format(i)] for i in ids])
+
+        blocks = {
+            "norm1": {"scale": stack("blocks.{}.norm1.weight"), "bias": stack("blocks.{}.norm1.bias")},
+            "norm2": {"scale": stack("blocks.{}.norm2.weight"), "bias": stack("blocks.{}.norm2.bias")},
+            "qkv": {
+                "kernel": stack("blocks.{}.attn.qkv.weight").transpose(0, 2, 1),
+                "bias": stack("blocks.{}.attn.qkv.bias"),
             },
-            "fc2": {
-                "kernel": stack("blocks.{}.mlp.fc2.weight").transpose(0, 2, 1),
-                "bias": stack("blocks.{}.mlp.fc2.bias"),
+            "attn_proj": {
+                "kernel": stack("blocks.{}.attn.proj.weight").transpose(0, 2, 1),
+                "bias": stack("blocks.{}.attn.proj.bias"),
             },
-        },
-    }
-    if "blocks.0.ls1.gamma" in sd:
-        blocks["ls1"] = stack("blocks.{}.ls1.gamma")
-        blocks["ls2"] = stack("blocks.{}.ls2.gamma")
-    params["blocks"] = blocks
+            "mlp": {
+                "fc1": {
+                    "kernel": stack("blocks.{}.mlp.fc1.weight").transpose(0, 2, 1),
+                    "bias": stack("blocks.{}.mlp.fc1.bias"),
+                },
+                "fc2": {
+                    "kernel": stack("blocks.{}.mlp.fc2.weight").transpose(0, 2, 1),
+                    "bias": stack("blocks.{}.mlp.fc2.bias"),
+                },
+            },
+        }
+        if "blocks.0.ls1.gamma" in sd:
+            blocks["ls1"] = stack("blocks.{}.ls1.gamma")
+            blocks["ls2"] = stack("blocks.{}.ls2.gamma")
+        params[f"blocks{si}"] = blocks
 
     params["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
     return params
