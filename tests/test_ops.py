@@ -354,3 +354,40 @@ def test_gather_planar_grad_is_scatter_add(rng):
         for s in range(S):
             want[0, idx[0, p, s]] += w[p, s]
     np.testing.assert_allclose(gr, want, atol=1e-4)
+
+
+def test_ball_group_planar_subset_mode(rng):
+    from unopose_tpu.ops.ball_query import ball_group_planar
+
+    B, N, S = 2, 64, 16
+    xyz = rng.uniform(-1, 1, size=(B, N, 3)).astype(np.float32)
+    r = 0.7
+    planes, d2_sel, valid = ball_group_planar(r, S, jnp.asarray(xyz), mode="subset")
+    planes = np.stack([np.asarray(c) for c in planes], -1)
+    valid = np.asarray(valid)
+    d2 = ((xyz[:, :, None] - xyz[:, None]) ** 2).sum(-1)
+    for b in range(B):
+        for p in range(N):
+            sel = planes[b, p][valid[b, p]]
+            # every valid pick is a real cloud point within the radius
+            dmin = np.linalg.norm(sel[:, None] - xyz[b][None], axis=-1).min(1)
+            assert dmin.max() < 1e-5
+            dctr = np.linalg.norm(sel - xyz[b, p], axis=-1)
+            assert (dctr < r).all()
+            # at least one valid slot (the ball always contains the point itself)
+            assert valid[b, p].any()
+    # validity counts bounded by in-radius counts
+    cnt = (d2 < r * r).sum(-1)
+    assert (valid.sum(-1) <= np.minimum(cnt, S)).all()
+
+
+def test_ball_group_planar_first_k_matches_oracle(rng):
+    from unopose_tpu.ops.ball_query import ball_group_planar
+
+    B, N, S = 2, 60, 8
+    xyz = rng.uniform(-1, 1, size=(B, N, 3)).astype(np.float32)
+    planes, _, valid = ball_group_planar(0.5, S, jnp.asarray(xyz), mode="first_k")
+    idx = ball_query_oracle(0.5, S, xyz, xyz)
+    got = np.stack([np.asarray(c) for c in planes], -1)
+    for b in range(B):
+        np.testing.assert_allclose(got[b][np.asarray(valid)[b]], xyz[b][idx[b]][np.asarray(valid)[b]], atol=1e-6)

@@ -133,6 +133,7 @@ class FinePositionalEncoding(nn.Module):
     use_lrf: bool = True
     use_xyz: bool = True
     use_bn: bool = True
+    neighbor_mode: str = "subset"  # see ops/ball_query.ball_group_planar
 
     def _scale(self, center, grouped, r, mlp_dims, train, name, mask=None):
         """Channel-first shared MLP over one neighborhood scale.
@@ -187,17 +188,20 @@ class FinePositionalEncoding(nn.Module):
 
         pts = pts.astype(jnp.float32)
         center = (pts[..., 0], pts[..., 1], pts[..., 2])
-        g2, d2_sel, valid2 = ball_group_planar(self.r2, self.nsample2, pts)
+        g2, d2_sel, valid2 = ball_group_planar(self.r2, self.nsample2, pts, mode=self.neighbor_mode)
         # under remat (see FinePointMatching), keep the grouped neighborhoods
-        # as residuals: re-running the N-wide sort + 8M-row gather in the
+        # as residuals: re-running the selection + 8M-row gather in the
         # backward pass costs far more than storing (B, 3, P, S) fp32
         g2 = tuple(checkpoint_name(g, "pe_grouped") for g in g2)
-        mask1 = (d2_sel < self.r1 * self.r1) & valid2
-        # guard: if no scale-2 slot is within r1, fall back to slot 0
+        d2v = jnp.where(valid2, d2_sel, jnp.inf)
+        mask1 = d2v < self.r1 * self.r1
+        # guard: a row with no scale-2 slot within r1 falls back to its
+        # nearest valid slot (the self point guarantees valid2 is non-empty)
         empty = ~jnp.any(mask1, axis=-1, keepdims=True)
-        mask1 = mask1 | (empty & (jnp.arange(self.nsample2) == 0))
+        nearest = jnp.argmin(d2v, axis=-1)[..., None] == jnp.arange(self.nsample2)
+        mask1 = mask1 | (empty & nearest)
         f1 = self._scale(center, g2, self.r1, (32, 64, 128), train, "mlp1", mask=mask1)
-        f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2")
+        f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2", mask=valid2)
         feat = jnp.concatenate([f1, f2], axis=1)  # (B, 256, P)
         feat = jnp.swapaxes(feat, 1, 2)  # (B, P, 256)
         return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)

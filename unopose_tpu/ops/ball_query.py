@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from unopose_tpu.ops.geometry import pairwise_sqdist
 
@@ -149,25 +150,56 @@ def two_scale_group_planar(
     return (g1p[:, 0], g1p[:, 1], g1p[:, 2]), g2
 
 
-def ball_group_planar(radius: float, nsample: int, pts: jnp.ndarray):
+def ball_group_planar(radius: float, nsample: int, pts: jnp.ndarray, mode: str = "subset"):
     """One ball-query grouping of the cloud around its own points, returned
     channel-planar, plus squared neighbor distances and slot validity.
 
+    Modes:
+      * ``"subset"`` (default): partition a FIXED pseudo-random permutation
+        of the cloud into ``nsample`` segments of N/nsample points and pick
+        each segment's first in-radius point — a near-uniform random
+        <=nsample-subset of the ball, with NO N-wide sort. The permutation
+        decorrelates index order (image scan order) from position, so
+        segment hit rates stay high. The reference's "first <=k in index
+        order" (ball_query_gpu.cu) is itself an arbitrary scan-order subset;
+        this one is exchangeable and cheaper. Requires nsample | N.
+      * ``"first_k"``: exact reference semantics via the encoded sort.
+
     Returns ((gx, gy, gz) each (B, N, S), d2_sel (B, N, S), valid (B, N, S)).
-    ``valid`` marks slots below the in-radius count (padded slots duplicate
-    the first neighbor and are valid for max-pool but excluded from masks).
+    Only ``valid`` slots are meaningful; consumers mask (the fine PE's
+    masked LRF + masked max-pool).
     """
     from unopose_tpu.ops.gather_pallas import gather_planar
 
     pts = pts.astype(jnp.float32)
     B, N, _ = pts.shape
-    d2 = pairwise_sqdist(pts, pts)
-    mask = d2 < radius * radius
-    idx = _first_k_in_radius(mask, nsample)  # (B, N, S)
-    cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)
-    valid = jnp.arange(nsample, dtype=jnp.int32) < jnp.minimum(cnt, nsample)[..., None]
+
+    if mode == "subset" and N % nsample == 0 and N // nsample >= 1:
+        G = N // nsample
+        perm = jnp.asarray(np.random.default_rng(20240613).permutation(N).astype(np.int32))
+        pts_p = jnp.take(pts, perm, axis=1)
+        d2 = pairwise_sqdist(pts, pts_p)  # (B, P, N) columns in permuted order
+        mask = d2 < radius * radius
+        gmask = mask.reshape(B, N, nsample, G)
+        giota = jnp.arange(G, dtype=jnp.int32)
+        local = jnp.min(jnp.where(gmask, giota, G), axis=-1)  # (B, P, S)
+        valid = local < G
+        local = jnp.minimum(local, G - 1)
+        idx_p = jnp.arange(nsample, dtype=jnp.int32)[None, None, :] * G + local  # into permuted order
+        xp, yp, zp = pts_p[..., 0], pts_p[..., 1], pts_p[..., 2]
+        planes = gather_planar(xp, yp, zp, idx_p)
+    elif mode in ("subset", "first_k"):
+        d2 = pairwise_sqdist(pts, pts)
+        mask = d2 < radius * radius
+        idx = _first_k_in_radius(mask, nsample)  # (B, N, S)
+        cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)
+        valid = jnp.arange(nsample, dtype=jnp.int32) < jnp.minimum(cnt, nsample)[..., None]
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        planes = gather_planar(x, y, z, idx)
+    else:
+        raise ValueError(mode)
+
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-    planes = gather_planar(x, y, z, idx)  # 3 x (B, N, S), Pallas on TPU
     d2_sel = (
         (planes[0] - x[..., None]) ** 2 + (planes[1] - y[..., None]) ** 2 + (planes[2] - z[..., None]) ** 2
     )

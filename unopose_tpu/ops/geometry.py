@@ -24,12 +24,20 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray, normalized: bool = False) ->
     Returns:
         (*, N, M) squared distances, clamped at 0.
     """
-    xy = jnp.matmul(x, jnp.swapaxes(y, -1, -2), preferred_element_type=jnp.float32)
+    # HIGHEST precision is a correctness requirement on TPU: the default
+    # matmul truncates inputs to bf16, and for camera-frame clouds (z offset
+    # >> extent) the x.y term suffers catastrophic cancellation — observed
+    # d^2 errors of +-0.2 against ball radii of 0.01-0.04.
+    xy = jnp.matmul(
+        x.astype(jnp.float32),
+        jnp.swapaxes(y, -1, -2).astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if normalized:
         sq = 2.0 - 2.0 * xy
     else:
-        x2 = jnp.sum(x * x, axis=-1)[..., :, None]
-        y2 = jnp.sum(y * y, axis=-1)[..., None, :]
+        x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)[..., :, None]
+        y2 = jnp.sum(y.astype(jnp.float32) ** 2, axis=-1)[..., None, :]
         sq = x2 - 2.0 * xy + y2
     return jnp.maximum(sq, 0.0)
 
@@ -60,7 +68,13 @@ def compute_feature_similarity(
         feat1 = feat1 / (jnp.linalg.norm(feat1, axis=-1, keepdims=True) + 1e-12)
         feat2 = feat2 / (jnp.linalg.norm(feat2, axis=-1, keepdims=True) + 1e-12)
     if sim_type == "cosine":
-        atten = jnp.matmul(feat1, jnp.swapaxes(feat2, -1, -2), preferred_element_type=jnp.float32)
+        # fp32: the similarity matrix is the correspondence signal the
+        # solvers consume (the reference computes it in fp32)
+        atten = jnp.matmul(
+            feat1.astype(jnp.float32),
+            jnp.swapaxes(feat2, -1, -2).astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     elif sim_type == "L2":
         atten = jnp.sqrt(pairwise_sqdist(feat1, feat2, normalized=True))
     else:
