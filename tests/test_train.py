@@ -85,3 +85,20 @@ def test_sharded_train_step(train_setup):
     new_state2, metrics2 = step(new_state, batch_in, jax.random.PRNGKey(1))
     assert int(new_state2.step) == 2
     assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_model_ema_updates(train_setup):
+    cfg, model, batch, _ = train_setup
+    cfg2 = cfg.clone()
+    cfg2.train.model_ema = dict(enabled=True, decay=0.5)
+    state = create_train_state(model, cfg2, batch, seed=0)
+    assert state.ema_params is not None
+    from unopose_tpu.engine.train import make_train_step
+
+    step = jax.jit(make_train_step(model, cfg2))
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    # ema moved halfway toward the new params for a trainable leaf
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params["coarse_matching"])[0])
+    p1 = np.asarray(jax.tree_util.tree_leaves(new_state.params["coarse_matching"])[0])
+    e1 = np.asarray(jax.tree_util.tree_leaves(new_state.ema_params["coarse_matching"])[0])
+    np.testing.assert_allclose(e1, 0.5 * p0 + 0.5 * p1, atol=1e-6)

@@ -33,6 +33,7 @@ from unopose_tpu.utils.config import CN
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    ema_params: Any = None  # optional model EMA (reference cfg train.model_ema)
 
 
 def _freeze_labels(params, frozen_substr: str = "vit") -> Any:
@@ -75,8 +76,9 @@ def create_train_state(model: UNOPose, cfg: CN, sample_inputs: Dict[str, jnp.nda
     )
     params = variables["params"]
     tx = build_optimizer(cfg, params)
+    ema = params if cfg.train.get("model_ema", CN()).get("enabled", False) else None
     return TrainState.create(
-        apply_fn=model.apply, params=params, tx=tx, batch_stats=variables.get("batch_stats", {})
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=variables.get("batch_stats", {}), ema_params=ema
     )
 
 
@@ -106,6 +108,12 @@ def make_train_step(model: UNOPose, cfg: CN) -> Callable:
         metrics = dict(loss_dict)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads, batch_stats=mutated.get("batch_stats", state.batch_stats))
+        if state.ema_params is not None:
+            decay = cfg.train.get("model_ema", CN()).get("decay", 0.999)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_state.params
+            )
+            new_state = new_state.replace(ema_params=new_ema)
         return new_state, metrics
 
     return train_step

@@ -205,6 +205,9 @@ class UNOPose(nn.Module):
             out["pred_R"] = init_R
             out["pred_t"] = init_t * (radius[:, None] + 1e-6)
             out["pred_pose_score"] = out["init_pose_score"]
+            if not return_intermediates:
+                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score")
+                out = {k: out[k] for k in keep if k in out}
             return out
 
         f_attens, f_scores, f_sals = self.fine_matching(
