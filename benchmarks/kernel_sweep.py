@@ -23,16 +23,21 @@ ITERS = 10
 
 def bench(name, fn, *args):
     import jax
+    import jax.numpy as jnp
 
-    g = jax.jit(fn)
-    out = g(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]  # force
+    # reduce outputs to one scalar inside the jit: the axon relay ships
+    # large outputs eagerly, so returning full tensors times the tunnel
+    def reduced(*a):
+        out = fn(*a)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(out))
+
+    g = jax.jit(reduced)
+    _ = float(g(*args))
     t0 = time.perf_counter()
     for _i in range(ITERS):
-        out = g(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
-    dt = (time.perf_counter() - t0) / ITERS
-    return dt
+        acc = g(*args)
+    _ = float(acc)
+    return (time.perf_counter() - t0) / ITERS
 
 
 def main():
@@ -41,7 +46,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/unopose_jax_cache")
 
-    from unopose_tpu.ops.ball_query import two_scale_group_planar
+    from unopose_tpu.ops.ball_query import ball_group_planar
     from unopose_tpu.ops.fps import fps, gather_points
     from unopose_tpu.ops.lrf import batch_lrf_planar, global_lrf
     from unopose_tpu.ops.procrustes import weighted_procrustes
@@ -56,13 +61,13 @@ def main():
         w = jnp.asarray(rng.uniform(size=(BATCH, n)).astype(np.float32))
 
         rows = {
-            "fps_to_quarter": bench(lambda p: fps(p, n // 4), pts),
-            "two_scale_group": bench(lambda p: two_scale_group_planar(0.1, 64, 0.2, 256, p), pts),
-            "global_lrf": bench(global_lrf, pts),
+            "fps_to_quarter": bench("fps", lambda p: fps(p, n // 4), pts),
+            "ball_group": bench("bg", lambda p: ball_group_planar(0.2, 256, p), pts),
+            "global_lrf": bench("lrf", global_lrf, pts),
             "gather_quarter": bench(
-                lambda f, p: gather_points(f, jnp.argsort(p[..., 0])[:, : n // 4]), feats, pts
+                "gather", lambda f, p: gather_points(f, jnp.argsort(p[..., 0])[:, : n // 4]), feats, pts
             ),
-            "wsvd": bench(lambda a, b, ww: weighted_procrustes(a, b, ww), pts, pts, w),
+            "wsvd": bench("wsvd", lambda a, b, ww: weighted_procrustes(a, b, ww), pts, pts, w),
         }
         for k, dt in rows.items():
             rec = {"kernel": k, "n_points": n, "batch": BATCH, "clouds_per_sec": round(BATCH / dt, 1)}
@@ -74,7 +79,7 @@ def main():
     atten = jnp.asarray(rng.normal(size=(BATCH, n + 1, n + 1)).astype(np.float32))
     score = jnp.ones((BATCH, 2 * n), jnp.float32)
     pts = jnp.asarray(rng.uniform(-1, 1, size=(BATCH, n, 3)).astype(np.float32))
-    dt = bench(compute_fine_Rt_overlap, atten, score, pts, pts)
+    dt = bench("fine_solver", compute_fine_Rt_overlap, atten, score, pts, pts)
     print(json.dumps({"kernel": "fine_solver", "n_points": n, "batch": BATCH, "clouds_per_sec": round(BATCH / dt, 1)}))
 
 
