@@ -2,7 +2,12 @@
 synthetic query/ref clouds with a known relative pose -> FPS (Pallas kernel)
 -> LRF canonicalization -> ball-query grouping -> coarse hypothesis search
 -> fine WSVD refinement -> recovered pose vs ground truth."""
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
