@@ -80,6 +80,81 @@ def test_interpolate_pos_embed():
     np.testing.assert_array_equal(same, pe)
 
 
+def test_pretrained_graft_into_train_state(tmp_path):
+    """create_train_state grafts converted timm weights into the ViT subtree
+    (with pos-embed interpolation from the checkpoint grid to the model grid)
+    and leaves the matcher params at their initialized values."""
+    import torch
+
+    from unopose_tpu.configs.main_cfg import get_tiny_cfg
+    from unopose_tpu.engine.train import create_train_state
+    from unopose_tpu.models import UNOPose
+    from unopose_tpu.utils.checkpoint import maybe_load_pretrained_vit
+    from tests.test_model import IMG, NPTS, NCOARSE, NTEM, tiny_inputs
+
+    sd = fake_timm_state_dict(grid=4)  # ckpt grid 4 != model grid 28//14=2
+    path = tmp_path / "vit.pth"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}}, path)
+
+    cfg = get_tiny_cfg(IMG, NPTS, NCOARSE, NTEM)
+    cfg.model.feature_extraction.merge(dict(pretrained=True, vit_ckpt=str(path), freeze_vit=True))
+    model = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.float32)
+    batch = tiny_inputs(np.random.default_rng(0), B=2, train=True)
+    state = create_train_state(model, cfg, batch, seed=0)
+
+    expected_sd = dict(sd)
+    expected_sd["pos_embed"] = interpolate_pos_embed_np(sd["pos_embed"], 2)
+    expected = convert_timm_vit_to_flax(expected_sd, depth=4, reg_tokens=4)
+
+    vit = state.params["encoder"]["rgb_net"]["vit"]
+    got = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(vit)}
+    for k, v in jax.tree_util.tree_leaves_with_path(expected):
+        np.testing.assert_allclose(np.asarray(got[jax.tree_util.keystr(k)]), np.asarray(v), rtol=1e-6)
+
+    # non-ViT params must equal the plain init (graft touches only the backbone)
+    cfg2 = get_tiny_cfg(IMG, NPTS, NCOARSE, NTEM)
+    plain = create_train_state(model, cfg2, batch, seed=0)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["coarse_matching"]["in_proj"]["kernel"]),
+        np.asarray(plain.params["coarse_matching"]["in_proj"]["kernel"]),
+    )
+
+    # missing checkpoint file must raise (reference asserts here)
+    cfg.model.feature_extraction.vit_ckpt = str(tmp_path / "nope.pth")
+    with pytest.raises(FileNotFoundError):
+        maybe_load_pretrained_vit(state.params, cfg.model.feature_extraction)
+
+
+def test_restore_eval_variables(tmp_path):
+    """--eval-only restores the latest trained checkpoint from the output dir
+    (reference main_unopose.py:116-120 resume_or_load -> do_save_results)."""
+    from unopose_tpu.configs.main_cfg import get_tiny_cfg
+    from unopose_tpu.engine.train import create_train_state
+    from unopose_tpu.main_unopose import restore_eval_variables
+    from unopose_tpu.models import UNOPose
+    from tests.test_model import IMG, NPTS, NCOARSE, NTEM, tiny_inputs
+
+    cfg = get_tiny_cfg(IMG, NPTS, NCOARSE, NTEM)
+    cfg.misc.output_dir = str(tmp_path)
+    cfg.test.instance_batch_size = 2
+    cfg.dataloader.test.merge(dict(n_sample_observed_point=NPTS, n_sample_template_point=NTEM))
+    model = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.float32)
+    batch = tiny_inputs(np.random.default_rng(0), B=2, train=True)
+    state = create_train_state(model, cfg, batch, seed=3)
+    Checkpointer(str(tmp_path / "ckpt")).save(7, state)
+
+    variables = restore_eval_variables(model, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(variables["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # load_from pointing at nothing restorable must raise, not silently eval random weights
+    cfg.misc.load_from = str(tmp_path / "absent")
+    with pytest.raises(FileNotFoundError):
+        restore_eval_variables(model, cfg)
+
+
 def test_checkpointer_roundtrip(tmp_path, rng):
     from unopose_tpu.configs.main_cfg import get_tiny_cfg
     from unopose_tpu.engine.train import create_train_state

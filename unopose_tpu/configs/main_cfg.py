@@ -168,7 +168,7 @@ def get_tiny_cfg(img_size: int = 28, n_pts: int = 64, coarse_npoint: int = 16, n
     cfg.model.coarse_npoint = coarse_npoint
     cfg.model.fine_npoint = n_pts
     cfg.model.feature_extraction.merge(
-        dict(vit_type="vit_tiny_test", embed_dim=32, out_dim=32, img_size=img_size)
+        dict(vit_type="vit_tiny_test", embed_dim=32, out_dim=32, img_size=img_size, pretrained=False)
     )
     cfg.model.geo_embedding.hidden_dim = 32
     for k in ("coarse_point_matching", "fine_point_matching"):

@@ -75,6 +75,11 @@ def create_train_state(model: UNOPose, cfg: CN, sample_inputs: Dict[str, jnp.nda
         {"params": jax.random.PRNGKey(seed), "sample": jax.random.PRNGKey(seed + 1)}, sample_inputs, train=True
     )
     params = variables["params"]
+    # graft pretrained DINOv2 weights before freezing (the reference loads the
+    # timm checkpoint at model construction, oneref_feature_extraction.py:173-198)
+    from unopose_tpu.utils.checkpoint import maybe_load_pretrained_vit
+
+    params, _ = maybe_load_pretrained_vit(params, cfg.model.feature_extraction)
     tx = build_optimizer(cfg, params)
     ema = params if cfg.train.get("model_ema", CN()).get("enabled", False) else None
     return TrainState.create(

@@ -95,9 +95,69 @@ def main(argv=None):
     train_loop(model, cfg, data_iter, mesh=mesh, writer=writer, checkpointer=ckpt)
 
 
-def run_eval(model, cfg, out_dir):
-    import jax
+def restore_eval_variables(model, cfg):
+    """Build eval variables: restore the trained checkpoint named by
+    ``cfg.misc.load_from`` (an orbax checkpoint directory, or a run output
+    dir containing ``ckpt/``) or fall back to the latest checkpoint under
+    the output dir — the counterpart of the reference's
+    ``resume_or_load(load_from) -> do_save_results`` (main_unopose.py:116-120).
+    Without any checkpoint, graft the pretrained backbone and warn (random
+    matcher weights are only useful as a pipeline test)."""
+    import logging
 
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _full_inputs
+    from unopose_tpu.utils.checkpoint import Checkpointer, maybe_load_pretrained_vit
+
+    logger = logging.getLogger(__name__)
+    fe = cfg.model.feature_extraction
+    sample = _full_inputs(
+        np.random.default_rng(0),
+        B=cfg.test.instance_batch_size,
+        img=fe.get("img_size", 224),
+        npts=cfg.dataloader.test.n_sample_observed_point,
+        ntem=cfg.dataloader.test.n_sample_template_point,
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, sample, train=False)
+    variables = dict(variables)
+
+    load_from = cfg.misc.get("load_from", "")
+    if load_from:
+        # an explicit load_from is authoritative — never fall back elsewhere
+        candidates = [load_from, osp.join(load_from, "ckpt")]
+    else:
+        candidates = [osp.join(cfg.misc.output_dir, "ckpt")]
+
+    for cand in candidates:
+        if not osp.isdir(cand):
+            continue
+        ckpt = Checkpointer(cand)
+        step = ckpt.latest_step()
+        if step is None:
+            continue
+        restored = ckpt.restore_pytree(step)
+        variables["params"] = restored["params"]
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        logger.info("restored trained checkpoint step %d from %s", step, cand)
+        return variables
+
+    if load_from:
+        raise FileNotFoundError(f"misc.load_from={load_from!r} holds no restorable checkpoint")
+    params, loaded = maybe_load_pretrained_vit(variables["params"], fe)
+    variables["params"] = params
+    logger.warning(
+        "no trained checkpoint found (misc.load_from unset, none under %s): evaluating with %s — "
+        "results are a pipeline test only",
+        cfg.misc.output_dir,
+        "pretrained backbone + random matchers" if loaded else "fully random weights",
+    )
+    return variables
+
+
+def run_eval(model, cfg, out_dir):
     from unopose_tpu.data.dataset_test import BOPTestsetPoseFreeOneRef
     from unopose_tpu.engine.inference import make_infer_fn, run_inference
 
@@ -106,13 +166,7 @@ def run_eval(model, cfg, out_dir):
         eval_dataset_name=cfg.dataloader.test.eval_dataset_name,
         detection_path=cfg.dataloader.test.detection_path,
     )
-    # TODO(ckpt): restore trained variables; random init is only a pipeline test
-    import numpy as np
-
-    from __graft_entry__ import _full_inputs
-
-    sample = _full_inputs(np.random.default_rng(0), B=cfg.test.instance_batch_size)
-    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, sample, train=False)
+    variables = restore_eval_variables(model, cfg)
     infer_fn = make_infer_fn(model, variables)
     name = cfg.dataloader.test.eval_dataset_name
     save_path = osp.join(out_dir, f"result_{cfg.misc.exp_name}_{name}-test.csv")

@@ -48,13 +48,24 @@ class Checkpointer:
             return None
         return self.manager.restore(step, args=ocp.args.StandardRestore(jax.device_get(state_template)))
 
+    def restore_pytree(self, step: Optional[int] = None) -> Optional[dict]:
+        """Restore the raw saved pytree (nested dicts of arrays) without a
+        template — enough for eval, which only needs ``['params']`` (and
+        ``['batch_stats']`` when present) out of the saved train state."""
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        return self.manager.restore(step, args=ocp.args.StandardRestore())
+
 
 # --------------------------------------------------------------------------
 # torch (timm DINOv2) -> flax ViTPyramid conversion
 # --------------------------------------------------------------------------
 
 
-def convert_timm_vit_to_flax(state_dict: dict, depth: int = 12, reg_tokens: int = 4) -> dict:
+def convert_timm_vit_to_flax(state_dict: dict, depth: int = 12, reg_tokens: int = 4, no_embed_class: bool = True) -> dict:
     """Map a timm VisionTransformer state_dict (as numpy arrays) onto the
     ViTPyramid param tree (models/vit.py).
 
@@ -86,7 +97,14 @@ def convert_timm_vit_to_flax(state_dict: dict, depth: int = 12, reg_tokens: int 
     params["cls_token"] = sd["cls_token"]
     if reg_tokens and "reg_token" in sd:
         params["reg_token"] = sd["reg_token"]
-    params["pos_embed"] = sd["pos_embed"]
+    if no_embed_class:
+        params["pos_embed"] = sd["pos_embed"]
+    else:
+        # timm prepends the prefix-token embeddings to pos_embed; ViTPyramid
+        # keeps them as a separate "pos_embed_prefix" param
+        npfx = 1 + reg_tokens
+        params["pos_embed_prefix"] = sd["pos_embed"][:, :npfx]
+        params["pos_embed"] = sd["pos_embed"][:, npfx:]
 
     # ViTPyramid scans 4 tap-aligned segments ("blocks0".."blocks3"); the
     # segment lengths are [depth - 3*(depth//4)] + [depth//4] * 3
@@ -138,6 +156,89 @@ def load_timm_checkpoint(path: str) -> dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     model = ckpt.get("model", ckpt)
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in model.items()}
+
+
+VIT_PARAM_PATH = ("encoder", "rgb_net", "vit")
+
+
+def graft_vit_params(params: dict, vit_params: dict, path=VIT_PARAM_PATH) -> dict:
+    """Replace the ViT subtree of a UNOPose param tree with converted
+    pretrained weights, checking structure/shape leaf by leaf."""
+    import jax.numpy as jnp
+
+    sub = params
+    for k in path:
+        if k not in sub:
+            raise KeyError(f"param path {'/'.join(path)} not found at {k!r}; have {sorted(sub)}")
+        sub = sub[k]
+
+    def cast_like(new, old):
+        new = np.asarray(new)
+        old_shape = tuple(old.shape)
+        if tuple(new.shape) != old_shape:
+            raise ValueError(f"pretrained shape {new.shape} != model shape {old_shape}")
+        return jnp.asarray(new, dtype=old.dtype)
+
+    grafted = jax.tree_util.tree_map(cast_like, vit_params, sub)
+    out = dict(params)
+    node = out
+    for k in path[:-1]:
+        node[k] = dict(node[k])
+        node = node[k]
+    node[path[-1]] = grafted
+    return out
+
+
+def maybe_load_pretrained_vit(params: dict, fe_cfg) -> tuple:
+    """Graft converted timm DINOv2 weights into ``params`` per the
+    feature-extraction config. Mirrors the reference's load-then-freeze
+    protocol (oneref_feature_extraction.py:173-198), including pos-embed
+    interpolation when the checkpoint grid differs from the model grid.
+
+    Returns (params, loaded: bool). Raises if ``pretrained`` is set but the
+    checkpoint file is missing (the reference asserts here); warns when a
+    frozen ViT is left at random init (test configs only).
+    """
+    from unopose_tpu.models.vit import VIT_VARIANTS
+
+    pretrained = fe_cfg.get("pretrained", False)
+    freeze = fe_cfg.get("freeze_vit", False)
+    if not pretrained:
+        if freeze:
+            logger.warning(
+                "freeze_vit without pretrained weights: the frozen backbone stays at "
+                "random init (the reference asserts 'freeze must use pretrained' — "
+                "only test/debug configs should hit this)"
+            )
+        return params, False
+
+    ckpt = fe_cfg.get("vit_ckpt", "")
+    if not ckpt or not osp.exists(ckpt):
+        raise FileNotFoundError(
+            f"model.feature_extraction.pretrained=True but vit_ckpt does not exist: {ckpt!r} "
+            "(set pretrained=False to train from scratch)"
+        )
+
+    vit_type = fe_cfg.get("vit_type", "vit_base_patch14_reg4_dinov2")
+    variant = VIT_VARIANTS[vit_type]
+    sd = load_timm_checkpoint(ckpt)
+
+    grid = fe_cfg.get("img_size", 224) // variant["patch_size"]
+    pe = sd["pos_embed"]
+    if variant["no_embed_class"]:
+        sd["pos_embed"] = interpolate_pos_embed_np(pe, grid)
+    else:
+        npfx = 1 + variant["reg_tokens"]
+        sd["pos_embed"] = np.concatenate([pe[:, :npfx], interpolate_pos_embed_np(pe[:, npfx:], grid)], axis=1)
+
+    vit_params = convert_timm_vit_to_flax(
+        sd,
+        depth=variant["depth"],
+        reg_tokens=variant["reg_tokens"],
+        no_embed_class=variant["no_embed_class"],
+    )
+    logger.info("loaded pretrained ViT weights from %s (%s, grid %d)", ckpt, vit_type, grid)
+    return graft_vit_params(params, vit_params), True
 
 
 def interpolate_pos_embed_np(pos_embed: np.ndarray, new_grid: int) -> np.ndarray:
