@@ -188,6 +188,21 @@ class FinePositionalEncoding(nn.Module):
 
         pts = pts.astype(jnp.float32)
         center = (pts[..., 0], pts[..., 1], pts[..., 2])
+
+        if self.neighbor_mode == "first_k":
+            # exact reference semantics (parity mode): two independent ball
+            # queries, UNMASKED LRF + max-pool over the padded slots —
+            # duplicate pads participate in the covariance/vote exactly as
+            # in the CUDA kernels (pointnet2_utils.py QueryAndLRFGroup).
+            from unopose_tpu.ops.ball_query import two_scale_group_exact_planar
+
+            g1, g2 = two_scale_group_exact_planar(self.r1, self.nsample1, self.r2, self.nsample2, pts)
+            f1 = self._scale(center, g1, self.r1, (32, 64, 128), train, "mlp1", mask=None)
+            f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2", mask=None)
+            feat = jnp.concatenate([f1, f2], axis=1)
+            feat = jnp.swapaxes(feat, 1, 2)
+            return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
+
         g2, d2_sel, valid2 = ball_group_planar(self.r2, self.nsample2, pts, mode=self.neighbor_mode)
         # under remat (see FinePointMatching), keep the grouped neighborhoods
         # as residuals: re-running the selection + 8M-row gather in the
@@ -215,6 +230,7 @@ class _FineBlock(nn.Module):
     num_heads: int
     focusing_factor: float
     dtype: jnp.dtype
+    parity_gather: bool = False
 
     @nn.compact
     def __call__(self, carry, geo1, fps_idx1, geo2, fps_idx2):
@@ -226,6 +242,7 @@ class _FineBlock(nn.Module):
             focusing_factor=self.focusing_factor,
             with_bg_token=True,
             replace_bg_token=True,
+            parity_gather=self.parity_gather,
             dtype=self.dtype,
             name="transformer",
         )(f1, geo1, fps_idx1, f2, geo2, fps_idx2)
@@ -249,6 +266,8 @@ class FinePointMatching(nn.Module):
     nsample2: int = 256
     use_lrf: bool = True
     use_xyz: bool = True
+    parity_gather: bool = False  # reproduce the reference's bg-shifted gather
+    pe_neighbor_mode: str = "subset"  # 'first_k' for reference-checkpoint parity
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -278,6 +297,7 @@ class FinePointMatching(nn.Module):
             nsample2=self.nsample2,
             use_lrf=self.use_lrf,
             use_xyz=self.use_xyz,
+            neighbor_mode=self.pe_neighbor_mode,
             name="pe",
         )
         in_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")
@@ -299,7 +319,12 @@ class FinePointMatching(nn.Module):
             metadata_params={nn.meta.PARTITION_NAME: None},
         )
         _, (f1s, f2s, scores_s) = Scanned(
-            self.hidden_dim, self.num_heads, self.focusing_factor, self.dtype, name="blocks"
+            self.hidden_dim,
+            self.num_heads,
+            self.focusing_factor,
+            self.dtype,
+            parity_gather=self.parity_gather,
+            name="blocks",
         )((f1, f2), geo1, fps_idx1, geo2, fps_idx2)
 
         blocks = range(self.nblock) if train else [self.nblock - 1]

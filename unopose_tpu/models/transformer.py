@@ -59,8 +59,10 @@ class SparseToDenseTransformer(nn.Module):
     (transformer.py:655-662), which shifts every gathered feature by one
     dense slot relative to its geometry. We index the un-augmented dense
     block so sparse token j carries the features of the same point whose LRF
-    coordinates produced geo embedding j. (We train from scratch, so exact
-    weight-level parity with the reference quirk is not needed.)
+    coordinates produced geo embedding j. Set ``parity_gather=True`` to
+    reproduce the reference quirk exactly — required when running converted
+    reference checkpoints (utils/ref_convert.py), whose weights were trained
+    against the shifted gather.
     """
 
     d_model: int
@@ -70,12 +72,17 @@ class SparseToDenseTransformer(nn.Module):
     focusing_factor: float = 3.0
     with_bg_token: bool = True
     replace_bg_token: bool = True
+    parity_gather: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _sample_feats(self, dense_feats, fps_idx):
         if self.with_bg_token:
             bg = dense_feats[:, :1]
-            feats = gather_points(dense_feats[:, 1:], fps_idx)
+            if self.parity_gather:
+                # reference quirk: index the bg-augmented array directly
+                feats = gather_points(dense_feats, fps_idx)
+            else:
+                feats = gather_points(dense_feats[:, 1:], fps_idx)
             return jnp.concatenate([bg, feats], axis=1)
         return gather_points(dense_feats, fps_idx)
 

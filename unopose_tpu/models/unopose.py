@@ -114,6 +114,8 @@ class UNOPose(nn.Module):
             nsample2=fm.get("nsample2", 256),
             use_lrf=fm.get("use_lrf", True),
             use_xyz=fm.get("use_xyz", True),
+            parity_gather=fm.get("parity_gather", False),
+            pe_neighbor_mode=fm.get("pe_neighbor_mode", "subset"),
             dtype=self.dtype,
         )
 

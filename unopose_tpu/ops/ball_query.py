@@ -150,6 +150,28 @@ def two_scale_group_planar(
     return (g1p[:, 0], g1p[:, 1], g1p[:, 2]), g2
 
 
+def two_scale_group_exact_planar(r1: float, k1: int, r2: float, k2: int, pts: jnp.ndarray):
+    """EXACT reference fine-PE grouping: two independent ball queries of the
+    cloud around its own points (oneref_predator_fine_point_matching.py:159-178
+    runs group1(r1, k1) and group2(r2, k2) separately), first-k-in-index-order
+    slots padded with the first in-radius point — duplicates and all. One
+    (B, N, N) distance matrix is shared between the scales.
+
+    Used for reference-checkpoint parity (pe_neighbor_mode='first_k'); the
+    production path is the masked single-group ``ball_group_planar``.
+
+    Returns ((g1x, g1y, g1z) each (B, N, k1), (g2x, g2y, g2z) each (B, N, k2)).
+    """
+    from unopose_tpu.ops.gather_pallas import gather_planar
+
+    pts = pts.astype(jnp.float32)
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    d2 = pairwise_sqdist(pts, pts)
+    idx1 = _first_k_in_radius(d2 < r1 * r1, k1)
+    idx2 = _first_k_in_radius(d2 < r2 * r2, k2)
+    return gather_planar(x, y, z, idx1), gather_planar(x, y, z, idx2)
+
+
 def ball_group_planar(radius: float, nsample: int, pts: jnp.ndarray, mode: str = "subset"):
     """One ball-query grouping of the cloud around its own points, returned
     channel-planar, plus squared neighbor distances and slot validity.
