@@ -170,3 +170,31 @@ def test_bop_test_dataset(fake_bop):
     # same object, same pose in both frames -> clouds overlap strongly
     d = np.linalg.norm(data["pts"][0][:, None] - data["tem1_pts"][0][None], axis=-1).min(1)
     assert np.median(d) < 0.02
+
+
+def test_train_loader_epoch_resample():
+    """The loader resamples the dataset's epoch composition before each pass
+    (reference engine.py:143-147 + dataset reset(), :169-177) and honors
+    num_img_per_epoch via __len__."""
+    from unopose_tpu.data.loader import train_loader
+
+    class FakeDataset:
+        def __init__(self):
+            self.resets = 0
+            self.epoch = []
+
+        def __len__(self):
+            return 4  # num_img_per_epoch
+
+        def reset(self):
+            self.resets += 1
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    ds = FakeDataset()
+    it = train_loader(ds, batch_size=2, num_workers=1, seed=0)
+    batches = [next(it) for _ in range(5)]  # 10 samples > 2 epochs of 4
+    it.close()
+    assert all(b["x"].shape == (2, 2) for b in batches)
+    assert ds.resets >= 2

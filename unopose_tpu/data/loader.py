@@ -8,11 +8,14 @@ batch (parallel/mesh.local_batch_slice)."""
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
@@ -26,14 +29,25 @@ def train_loader(
     seed: int = 0,
     prefetch: int = 4,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite batched iterator with background worker threads."""
+    """Infinite batched iterator with background worker threads.
+
+    Epoch semantics follow the reference (engine.py:143-147 + dataset
+    ``reset()``, pfoneref_training_dataset_v2.py:169-177): before each pass
+    over the epoch index list the dataset's ``reset()`` resamples which
+    images compose the epoch (``num_img_per_epoch``), so one pass here ==
+    one ``max_iter // resample_times`` window there."""
     rng = np.random.default_rng(seed)
     index_q: "queue.Queue[int]" = queue.Queue(maxsize=batch_size * 4)
     sample_q: "queue.Queue" = queue.Queue(maxsize=batch_size * prefetch)
     stop = threading.Event()
 
     def feeder():
+        epoch = 0
         while not stop.is_set():
+            if hasattr(dataset, "reset"):
+                dataset.reset()
+                logger.info("train epoch %d: resampled %d images", epoch, len(dataset))
+            epoch += 1
             for idx in rng.permutation(len(dataset)):
                 if stop.is_set():
                     return

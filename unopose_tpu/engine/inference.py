@@ -31,6 +31,32 @@ def pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([x, reps], axis=0)
 
 
+def prefetch_items(dataset, depth: int = 2):
+    """Background-thread prefetch of ``dataset[i]`` so the per-image host
+    preprocessing (RLE decode, crop, backproject — SURVEY hard-part g)
+    overlaps device compute instead of serializing with it (the reference
+    gets this from DataLoader workers, build_data_loader.py:153-177)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    SENTINEL = object()
+
+    def worker():
+        try:
+            for i in range(len(dataset)):
+                q.put(dataset[i])
+        finally:
+            q.put(SENTINEL)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            return
+        yield item
+
+
 def run_inference(
     infer_fn: Callable,
     dataset,
@@ -52,8 +78,7 @@ def run_inference(
     key = jax.random.PRNGKey(rng_seed)
 
     model_keys = ("pts", "rgb", "rgb_choose", "tem1_rgb", "tem1_choose", "tem1_pts")
-    for i in range(len(dataset)):
-        data = dataset[i]
+    for i, data in enumerate(prefetch_items(dataset)):
         t0 = time.perf_counter()
         n_instance = data["pts"].shape[0]
         n_chunks = int(np.ceil(n_instance / bs))

@@ -175,6 +175,7 @@ def train_loop(
     ckpt_period = cfg.train.get("checkpointer", CN()).get("period", 5000)
 
     t_last = time.perf_counter()
+    last_logged = start_iter - 1
     for it in range(start_iter, max_iter):
         batch = next(data_iter)
         batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
@@ -183,9 +184,10 @@ def train_loop(
 
         if writer is not None and (it % log_period == 0 or it == max_iter - 1):
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            m["iter_time"] = (time.perf_counter() - t_last) / max(1, it and log_period)
+            m["iter_time"] = (time.perf_counter() - t_last) / (it - last_logged)
             writer.write(it, m)
             t_last = time.perf_counter()
+            last_logged = it
         if checkpointer is not None and ((it + 1) % ckpt_period == 0 or it == max_iter - 1):
             checkpointer.save(it + 1, state)
         if eval_fn is not None and cfg.train.get("eval_period", 0) and (it + 1) % cfg.train.eval_period == 0:

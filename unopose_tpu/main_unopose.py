@@ -78,7 +78,11 @@ def main(argv=None):
     else:
         from unopose_tpu.data.dataset_train import DatasetPoseFreeOneRef
 
-        dataset = DatasetPoseFreeOneRef(cfg.dataloader.train, seed=cfg.train.seed + jax.process_index())
+        dataset = DatasetPoseFreeOneRef(
+            cfg.dataloader.train,
+            num_img_per_epoch=cfg.dataloader.train.get("num_img_per_epoch", -1),
+            seed=cfg.train.seed + jax.process_index(),
+        )
         data_iter = train_loader(
             dataset,
             cfg.misc.train_batch_size // jax.process_count(),
@@ -91,8 +95,27 @@ def main(argv=None):
         max_to_keep=cfg.train.checkpointer.max_to_keep,
         period=cfg.train.checkpointer.period,
     )
-    writer = MultiWriter(ConsolePrinter(cfg.train.max_iter), JSONWriter(osp.join(out_dir, "metrics.json")))
-    train_loop(model, cfg, data_iter, mesh=mesh, writer=writer, checkpointer=ckpt)
+    from unopose_tpu.utils.writer import TensorboardWriter
+
+    writer = MultiWriter(
+        ConsolePrinter(cfg.train.max_iter),
+        JSONWriter(osp.join(out_dir, "metrics.json")),
+        TensorboardWriter(osp.join(out_dir, "tb")) if is_main_process() else None,
+    )
+
+    # periodic in-training eval (reference engine.py:191-201 do_save_results)
+    eval_fn = None
+    test_dir = osp.join(cfg.dataloader.test.data_dir, cfg.dataloader.test.eval_dataset_name)
+    if cfg.train.get("eval_period", 0) and osp.isdir(test_dir) and osp.exists(cfg.dataloader.test.detection_path):
+
+        def eval_fn(state, step):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            run_eval(model, cfg, out_dir, variables=variables, tag=f"_iter{step:07d}")
+
+    train_loop(model, cfg, data_iter, mesh=mesh, writer=writer, checkpointer=ckpt, eval_fn=eval_fn)
+    writer.close()
 
 
 def restore_eval_variables(model, cfg):
@@ -157,7 +180,7 @@ def restore_eval_variables(model, cfg):
     return variables
 
 
-def run_eval(model, cfg, out_dir):
+def run_eval(model, cfg, out_dir, variables=None, tag=""):
     from unopose_tpu.data.dataset_test import BOPTestsetPoseFreeOneRef
     from unopose_tpu.engine.inference import make_infer_fn, run_inference
 
@@ -166,10 +189,11 @@ def run_eval(model, cfg, out_dir):
         eval_dataset_name=cfg.dataloader.test.eval_dataset_name,
         detection_path=cfg.dataloader.test.detection_path,
     )
-    variables = restore_eval_variables(model, cfg)
+    if variables is None:
+        variables = restore_eval_variables(model, cfg)
     infer_fn = make_infer_fn(model, variables)
     name = cfg.dataloader.test.eval_dataset_name
-    save_path = osp.join(out_dir, f"result_{cfg.misc.exp_name}_{name}-test.csv")
+    save_path = osp.join(out_dir, f"result_{cfg.misc.exp_name}{tag}_{name}-test.csv")
     os.makedirs(out_dir, exist_ok=True)
     run_inference(infer_fn, dataset, save_path, instance_batch_size=cfg.test.instance_batch_size)
 
