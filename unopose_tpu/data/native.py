@@ -153,3 +153,33 @@ def backproject_choose(depth_crop, bbox, choose, K) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def rasterize_depth(cam_verts: np.ndarray, faces: np.ndarray, K: np.ndarray, h: int, w: int) -> Optional[np.ndarray]:
+    """Exact triangle z-buffer depth of a camera-space mesh (native only).
+
+    Returns the (h, w) float32 depth map (0 = background) or ``None`` when
+    the native library is unavailable — callers fall back to the numpy
+    oracle (eval/renderer.py:rasterize_exact), which computes identical
+    values per pixel.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(cam_verts, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    out = np.empty(int(h) * int(w), dtype=np.float32)
+    lib.rasterize_depth(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(v)),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(f)),
+        ctypes.c_float(float(K[0, 0])),
+        ctypes.c_float(float(K[1, 1])),
+        ctypes.c_float(float(K[0, 2])),
+        ctypes.c_float(float(K[1, 2])),
+        ctypes.c_int64(int(h)),
+        ctypes.c_int64(int(w)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out.reshape(int(h), int(w))

@@ -37,7 +37,7 @@ from unopose_tpu.eval.pose_error import (
     vsd_from_depths,
 )
 from unopose_tpu.eval.ply import load_ply
-from unopose_tpu.eval.renderer import PointSplatRenderer
+from unopose_tpu.eval.renderer import MeshRasterRenderer, PointSplatRenderer
 
 logger = logging.getLogger(__name__)
 
@@ -71,7 +71,7 @@ def load_estimates_csv(path: str) -> List[Dict]:
 class ModelStore:
     """Lazy per-object meshes + info + renderer registration."""
 
-    def __init__(self, models_dir: str, renderer: Optional[PointSplatRenderer] = None, n_mspd_pts: int = 0):
+    def __init__(self, models_dir: str, renderer=None, n_mspd_pts: int = 0):
         self.models_dir = models_dir
         self.info = {int(k): v for k, v in load_json(osp.join(models_dir, "models_info.json")).items()}
         self.renderer = renderer
@@ -136,7 +136,7 @@ def evaluate_bop(
     """
     models_dir = models_dir or osp.join(dataset_dir, "models_eval")
     need_vsd = "vsd" in error_types
-    renderer = PointSplatRenderer(im_size[0], im_size[1]) if need_vsd else None
+    renderer = MeshRasterRenderer(im_size[0], im_size[1]) if need_vsd else None
     store = ModelStore(models_dir, renderer)
 
     targets = load_json(osp.join(dataset_dir, targets_name))

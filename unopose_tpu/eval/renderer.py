@@ -96,6 +96,41 @@ def _closing_min(depth: np.ndarray, it: int) -> np.ndarray:
     return d
 
 
+class MeshRasterRenderer:
+    """Exact triangle z-buffer renderer — the default VSD depth source.
+
+    Same ``add_object`` / ``render_depth`` API as ``PointSplatRenderer``
+    but rasterizes the actual mesh triangles (native C++ kernel
+    native/hostops.cpp:rasterize_depth; numpy oracle fallback), removing
+    the splat approximation entirely. This is the TPU-framework
+    counterpart of the reference's vispy renderer
+    (third_party/bop_toolkit .../renderer_vispy.py via
+    eval_pose_results_more.py:167).
+    """
+
+    def __init__(self, height: int, width: int):
+        self.height = height
+        self.width = width
+        self._models: Dict[int, tuple] = {}
+
+    def add_object(self, obj_id: int, pts: np.ndarray, faces: np.ndarray, diameter: float = 0.0):
+        del diameter
+        self._models[obj_id] = (
+            np.asarray(pts, np.float32),
+            np.asarray(faces, np.int32).reshape(-1, 3),
+        )
+
+    def render_depth(self, obj_id: int, R: np.ndarray, t: np.ndarray, K: np.ndarray) -> np.ndarray:
+        from unopose_tpu.data import native
+
+        pts, faces = self._models[obj_id]
+        cam = pts @ np.asarray(R, np.float32).T + np.asarray(t, np.float32).reshape(1, 3)
+        out = native.rasterize_depth(cam, faces, np.asarray(K, np.float64), self.height, self.width)
+        if out is not None:
+            return out.astype(np.float64)
+        return rasterize_exact(pts, faces, R, t, K, self.height, self.width)
+
+
 def rasterize_exact(pts: np.ndarray, faces: np.ndarray, R, t, K, height: int, width: int) -> np.ndarray:
     """Exact (slow, per-face loop) triangle z-buffer rasterizer — the oracle
     the splat renderer is validated against in tests."""

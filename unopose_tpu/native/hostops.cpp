@@ -100,4 +100,67 @@ int bbox_of_mask(const uint8_t* mask, int64_t h, int64_t w, int64_t* out) {
     return 1;
 }
 
+// Exact triangle z-buffer rasterization of a camera-space mesh.
+// verts: (n_verts, 3) float32 camera-space vertices; faces: (n_faces, 3)
+// int32 indices; K = [fx, fy, cx, cy]; depth: (h, w) float32 output,
+// 0 where nothing projects. Semantics match the numpy oracle
+// eval/renderer.py:rasterize_exact — integer-coordinate pixel samples,
+// inclusive barycentric inside test, perspective-correct 1/z interpolation,
+// triangles touching the near plane (z <= 1e-6) skipped. This is the
+// TPU-framework counterpart of the reference's vispy depth renderer
+// (third_party/bop_toolkit .../renderer_vispy.py) used for VSD.
+void rasterize_depth(const float* verts, int64_t n_verts, const int32_t* faces, int64_t n_faces,
+                     float fx, float fy, float cx, float cy, int64_t h, int64_t w, float* depth) {
+    (void)n_verts;
+    const float INF = 1e30f;
+    for (int64_t i = 0; i < h * w; ++i) depth[i] = INF;
+    for (int64_t f = 0; f < n_faces; ++f) {
+        const float* a = verts + 3 * (int64_t)faces[3 * f + 0];
+        const float* b = verts + 3 * (int64_t)faces[3 * f + 1];
+        const float* c = verts + 3 * (int64_t)faces[3 * f + 2];
+        double z1 = a[2], z2 = b[2], z3 = c[2];
+        if (z1 <= 1e-6 || z2 <= 1e-6 || z3 <= 1e-6) continue;
+        double x1 = (fx * a[0] + cx * a[2]) / z1, y1 = (fy * a[1] + cy * a[2]) / z1;
+        double x2 = (fx * b[0] + cx * b[2]) / z2, y2 = (fy * b[1] + cy * b[2]) / z2;
+        double x3 = (fx * c[0] + cx * c[2]) / z3, y3 = (fy * c[1] + cy * c[2]) / z3;
+        double umin = x1 < x2 ? (x1 < x3 ? x1 : x3) : (x2 < x3 ? x2 : x3);
+        double umax = x1 > x2 ? (x1 > x3 ? x1 : x3) : (x2 > x3 ? x2 : x3);
+        double vmin = y1 < y2 ? (y1 < y3 ? y1 : y3) : (y2 < y3 ? y2 : y3);
+        double vmax = y1 > y2 ? (y1 > y3 ? y1 : y3) : (y2 > y3 ? y2 : y3);
+        int64_t u0 = (int64_t)umin;
+        if ((double)u0 > umin) --u0;  // floor
+        int64_t v0 = (int64_t)vmin;
+        if ((double)v0 > vmin) --v0;
+        int64_t u1 = (int64_t)umax + 1;
+        int64_t v1 = (int64_t)vmax + 1;
+        if (u0 < 0) u0 = 0;
+        if (v0 < 0) v0 = 0;
+        if (u1 > w) u1 = w;
+        if (v1 > h) v1 = h;
+        if (u0 >= u1 || v0 >= v1) continue;
+        double det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3);
+        if (det > -1e-12 && det < 1e-12) continue;
+        double inv_det = 1.0 / det;
+        double zi1 = 1.0 / z1, zi2 = 1.0 / z2, zi3 = 1.0 / z3;
+        for (int64_t v = v0; v < v1; ++v) {
+            double gv = (double)v;
+            float* row = depth + v * w;
+            for (int64_t u = u0; u < u1; ++u) {
+                double gu = (double)u;
+                double l1 = ((y2 - y3) * (gu - x3) + (x3 - x2) * (gv - y3)) * inv_det;
+                double l2 = ((y3 - y1) * (gu - x3) + (x1 - x3) * (gv - y3)) * inv_det;
+                double l3 = 1.0 - l1 - l2;
+                if (l1 < 0.0 || l2 < 0.0 || l3 < 0.0) continue;
+                double zinv = l1 * zi1 + l2 * zi2 + l3 * zi3;
+                if (zinv <= 0.0) continue;
+                float z = (float)(1.0 / zinv);
+                if (z < row[u]) row[u] = z;
+            }
+        }
+    }
+    for (int64_t i = 0; i < h * w; ++i) {
+        if (depth[i] >= INF) depth[i] = 0.0f;
+    }
+}
+
 }  // extern "C"
