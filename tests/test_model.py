@@ -157,3 +157,91 @@ def test_soft_loss_and_circle_loss(rng):
     neg = d > 1.5
     loss = weighted_circle_loss(pos, neg, d, jnp.sqrt(jnp.where(pos, 0.5, 0.0)))
     assert loss.shape == (B,) and np.isfinite(np.asarray(loss)).all()
+
+
+def test_geo_embedding_table_matches_exact(rng):
+    """The lookup-table fast path of GeometricStructureEmbedding (sinusoid +
+    projection folded into an interpolated table) matches the exact
+    computation to interpolation error (~1e-5)."""
+    from unopose_tpu.models.embedding import GeometricStructureEmbedding
+
+    pts = jnp.asarray(rng.normal(size=(2, 33, 3)).astype(np.float32))
+    m_exact = GeometricStructureEmbedding(hidden_dim=64, table_size=0)
+    m_table = GeometricStructureEmbedding(hidden_dim=64, table_size=4096)
+    params = m_exact.init(jax.random.PRNGKey(0), pts)
+    a = np.asarray(m_exact.apply(params, pts))
+    b = np.asarray(m_table.apply(params, pts))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_fine_pe_fused_matches_xla(rng):
+    """The fused Pallas PE kernel (interpret mode on CPU) matches the XLA
+    path: same params, same masks, bf16-level tolerance."""
+    from unopose_tpu.models.matching import FinePositionalEncoding
+
+    # anisotropic cloud: isotropic neighborhoods have no covariance eigengap
+    # and hence no well-defined frame to compare
+    pts = jnp.asarray(
+        (rng.uniform(-1, 1, size=(2, 64, 3)) * np.array([1.0, 0.75, 0.3])).astype(np.float32)
+    )
+    kw = dict(out_dim=32, r1=0.5, r2=1.0, nsample1=16, nsample2=32)
+    pe_ref = FinePositionalEncoding(fused=False, **kw)
+    pe_fus = FinePositionalEncoding(fused=True, **kw)
+    variables = pe_ref.init(jax.random.PRNGKey(0), pts, train=False)
+    # nonzero BN stats so the folding is actually exercised
+    stats = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.arange(x.size, dtype=x.dtype) / x.size, variables["batch_stats"]
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+    a = np.asarray(pe_ref.apply(variables, pts, train=False))
+    b = np.asarray(pe_fus.apply(variables, pts, train=False))
+    # A neighborhood with a degenerate covariance (no eigengap) or a tied
+    # sign vote has a mathematically arbitrary LRF — the reference's SVD is
+    # equally arbitrary there — and sub-ulp arithmetic differences between
+    # the fused and XLA pipelines can flip those frames. Compare exactly
+    # where the frame is well-defined.
+    from unopose_tpu.ops.ball_query import ball_group_planar
+    from unopose_tpu.ops.eig3 import eigvals_sym3
+
+    g2, d2_sel, valid2 = ball_group_planar(kw["r2"], kw["nsample2"], pts, mode="subset")
+    d2v = np.where(np.asarray(valid2), np.asarray(d2_sel), np.inf)
+    mask1 = d2v < kw["r1"] ** 2
+    empty = ~mask1.any(-1, keepdims=True)
+    nearest = d2v.argmin(-1)[..., None] == np.arange(kw["nsample2"])
+    mask1 |= empty & nearest
+
+    def well_defined(mask):
+        m = mask.astype(np.float32)
+        gx, gy, gz = (np.asarray(g) for g in g2)
+        x, y, z = (np.asarray(pts[..., i]) for i in range(3))
+        rx, ry, rz = gx - x[..., None], gy - y[..., None], gz - z[..., None]
+        cnt = np.maximum(m.sum(-1), 1)
+        mean = lambda t: (t * m).sum(-1) / cnt
+        cov = np.zeros(rx.shape[:2] + (3, 3), np.float32)
+        cov[..., 0, 0] = mean(rx * rx)
+        cov[..., 0, 1] = cov[..., 1, 0] = mean(rx * ry)
+        cov[..., 0, 2] = cov[..., 2, 0] = mean(rx * rz)
+        cov[..., 1, 1] = mean(ry * ry)
+        cov[..., 1, 2] = cov[..., 2, 1] = mean(ry * rz)
+        cov[..., 2, 2] = mean(rz * rz)
+        lams = np.asarray(eigvals_sym3(jnp.asarray(cov)))
+        tr = np.maximum(lams.sum(-1), 1e-12)
+        gap = (lams[..., 1] - lams[..., 2]) / tr
+        return gap > 0.05
+
+    well = well_defined(mask1) & well_defined(np.asarray(valid2))
+    err = np.abs(a - b).max(axis=-1)  # (B, P)
+    assert well.mean() > 0.3  # the comparison must actually cover something
+    assert err[well].max() < 5e-2, err[well].max()
+    assert np.median(err) < 2e-2
+
+
+def test_sinusoid_poly_split_matches_exact(rng):
+    """Statically-split small-angle polynomial == exact sin/cos to <1e-4
+    across the full bounded input range."""
+    from unopose_tpu.models.embedding import sinusoidal_embedding
+
+    x = jnp.asarray(rng.uniform(0, 12.0, size=(500,)).astype(np.float32))
+    a = np.asarray(sinusoidal_embedding(x, 256))
+    b = np.asarray(sinusoidal_embedding(x, 256, poly_xmax=12.0))
+    np.testing.assert_allclose(a, b, atol=1e-4)

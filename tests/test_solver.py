@@ -101,3 +101,25 @@ def test_solvers_jit_compile(rng):
     g = jax.jit(compute_fine_Rt_overlap)
     R2, t2, s2 = g(jnp.asarray(atten), jnp.asarray(score), jnp.asarray(pts1), jnp.asarray(pts2))
     assert R2.shape == (1, 3, 3)
+
+
+def test_searchsorted_cdf_matches_numpy():
+    """Two-level binned CDF search == np.searchsorted('left') on sorted rows,
+    including duplicate values, queries beyond the last edge, and a row
+    length that does not divide the segment size."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from unopose_tpu.ops.solver import searchsorted_cdf
+
+    rng = np.random.default_rng(0)
+    for N in (38416, 1000, 97):
+        w = rng.random((3, N)).astype(np.float32)
+        w[:, rng.integers(0, N, 50)] = 0.0  # duplicates in the cumsum
+        cum = np.cumsum(w, axis=1)
+        cum = cum / cum[:, -1:]
+        r = rng.random((3, 777)).astype(np.float32)
+        r[0, :5] = [0.0, 1.0 - 1e-7, 0.5, cum[0, 0], cum[0, 1]]
+        got = np.asarray(searchsorted_cdf(jnp.asarray(cum), jnp.asarray(r)))
+        want = np.stack([np.searchsorted(cum[b], r[b], side="left") for b in range(3)])
+        np.testing.assert_array_equal(got, want)

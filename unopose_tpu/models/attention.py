@@ -47,6 +47,39 @@ class MultiHeadAttention(nn.Module):
         return rearrange(out, "b h n c -> b n (h c)"), attn
 
 
+class _FoldedPosProj(nn.Module):
+    """proj_p applied on the q side instead of the embedding side.
+
+    The reference computes ``einsum(q, proj_p(e))`` with e the full
+    (B, N, M, C) geometric embedding (transformer.py:391-393) — a
+    (N*M, C)x(C, C) GEMM per layer, ~81 GFLOPs at the operating point and a
+    second full-size (B, N, M, C) materialization. By associativity
+    ``q . (e W + b) == (W^T q) . e + q . b``, so projecting q costs ~60x
+    less compute and removes the intermediate entirely; the big tensor is
+    only ever *read* once per layer by the score einsum. Exact up to fp
+    reassociation. Parameters live under the same {kernel, bias} names and
+    shapes as the nn.Dense it replaces, so checkpoint converters are
+    unaffected.
+    """
+
+    d_model: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q):
+        """q (B, h, N, c) -> (q_tilde (B, h, N, d_model), q_bias (B, h, N))."""
+        h = self.num_heads
+        c = self.d_model // h
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model))
+        bias = self.param("bias", nn.initializers.zeros, (self.d_model,))
+        W = kernel.reshape(self.d_model, h, c).astype(self.dtype)
+        b = bias.reshape(h, c).astype(self.dtype)
+        qt = jnp.einsum("bhnc,dhc->bhnd", q, W)
+        qb = jnp.einsum("bhnc,hc->bhn", q, b)
+        return qt, qb
+
+
 class RPEMultiHeadAttention(nn.Module):
     """MHA with additive relative positional scores q . proj_p(embed_qk)."""
 
@@ -61,12 +94,9 @@ class RPEMultiHeadAttention(nn.Module):
         q = rearrange(nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in), "b n (h c) -> b h n c", h=h)
         k = rearrange(nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in), "b m (h c) -> b h m c", h=h)
         v = rearrange(nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in), "b m (h c) -> b h m c", h=h)
-        p = rearrange(
-            nn.Dense(self.d_model, dtype=self.dtype, name="proj_p")(embed_qk.astype(self.dtype)),
-            "b n m (h c) -> b h n m c",
-            h=h,
-        )
-        scores = (jnp.einsum("bhnc,bhmc->bhnm", q, k) + jnp.einsum("bhnc,bhnmc->bhnm", q, p)) / dph**0.5
+        qt, qb = _FoldedPosProj(self.d_model, h, dtype=self.dtype, name="proj_p")(q)
+        scores_p = jnp.einsum("bhnd,bnmd->bhnm", qt, embed_qk.astype(self.dtype)) + qb[..., None]
+        scores = (jnp.einsum("bhnc,bhmc->bhnm", q, k) + scores_p) / dph**0.5
         if attention_factors is not None:
             scores = attention_factors[:, None] * scores
         if key_weights is not None:

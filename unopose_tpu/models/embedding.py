@@ -16,7 +16,9 @@ import numpy as np
 from unopose_tpu.ops.geometry import pairwise_sqdist
 
 
-def sinusoidal_embedding(indices: jnp.ndarray, d_model: int) -> jnp.ndarray:
+def sinusoidal_embedding(
+    indices: jnp.ndarray, d_model: int, poly_xmax: float | None = None
+) -> jnp.ndarray:
     """Sinusoidal embedding, concatenated layout: [sin_0..sin_{d/2-1},
     cos_0..cos_{d/2-1}] of (index * 10000^(-2i/d)).
 
@@ -27,12 +29,33 @@ def sinusoidal_embedding(indices: jnp.ndarray, d_model: int) -> jnp.ndarray:
     padding fusions in profiles. (A weight converter for reference matcher
     checkpoints must permute proj_d/proj_a rows with
     perm = [0, 2, ..., d-2, 1, 3, ..., d-1].)
+
+    ``poly_xmax``: when the caller can STATICALLY bound |index| <= poly_xmax,
+    the frequencies with argument x = index * omega_i <= 0.5 (the geometric
+    tail — ~2/3 of them at the operating point) use 3-term Taylor
+    polynomials instead of sin/cos (max error 2.2e-5, two orders below the
+    1e-3 reference-parity gate). The embedding is transcendental-bound on
+    the VPU — this cuts most of that cost.
     """
     if d_model % 2 != 0:
         raise ValueError(f"odd d_model: {d_model}")
     div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-np.log(10000.0) / d_model))
-    om = indices[..., None].astype(jnp.float32) * div  # (..., d/2)
-    return jnp.concatenate([jnp.sin(om), jnp.cos(om)], axis=-1)
+    x = indices[..., None].astype(jnp.float32)
+
+    if poly_xmax is None:
+        om = x * div
+        return jnp.concatenate([jnp.sin(om), jnp.cos(om)], axis=-1)
+
+    # first index i0 with omega_i * xmax <= 0.5
+    i0 = int(np.ceil(d_model / 2 * np.log(2.0 * poly_xmax) / np.log(10000.0)))
+    i0 = max(0, min(d_model // 2, i0))
+    om_hi = x * div[:i0]
+    sin_hi, cos_hi = jnp.sin(om_hi), jnp.cos(om_hi)
+    om = x * div[i0:]  # |om| <= 0.5
+    om2 = om * om
+    sin_lo = om * (1.0 - om2 / 6.0 * (1.0 - om2 / 20.0))
+    cos_lo = 1.0 - om2 / 2.0 * (1.0 - om2 / 12.0)
+    return jnp.concatenate([sin_hi, sin_lo, cos_hi, cos_lo], axis=-1)
 
 
 class GeometricStructureEmbedding(nn.Module):
@@ -41,6 +64,15 @@ class GeometricStructureEmbedding(nn.Module):
     Reference transformer.py:287-350; config knobs sigma_d/sigma_a/angle_k/
     reduction_a mirror configs/main_cfg.py:142-148. Computed once per cloud
     on the (coarse_npoint + 1 bg) points; consumed by RPE attention.
+
+    ``table_size > 0`` replaces the per-element sinusoid + projection with a
+    per-forward lookup table ``T[j] = sinusoid(x_j) @ W + b`` (exact trig on
+    just table_size grid points) sampled by linear interpolation; max error
+    ~(x_max/table_size)^2/8 ~= 1e-5, two orders below the 1e-3
+    reference-parity gate. Measured on v5e the random row-gathers cost MORE
+    than the transcendentals they replace (gathers are HBM-bound; sin/cos
+    are VPU-bound and fuse into the projection GEMM), so the default is 0 =
+    exact; the table stays available for backends where gathers win.
     """
 
     hidden_dim: int = 256
@@ -48,7 +80,27 @@ class GeometricStructureEmbedding(nn.Module):
     sigma_a: float = 15.0
     angle_k: int = 3
     reduction_a: str = "max"
+    table_size: int = 0
     dtype: jnp.dtype = jnp.float32
+
+    def _make_table(self, proj: nn.Dense, x_max: jnp.ndarray) -> jnp.ndarray:
+        """(table_size, hidden_dim) projected sinusoid values on a uniform
+        grid over [0, x_max]; rows j and j+1 bracket index x/h."""
+        T = self.table_size
+        grid = jnp.arange(T, dtype=jnp.float32) * (x_max / (T - 1))
+        return proj(sinusoidal_embedding(grid, self.hidden_dim).astype(self.dtype))
+
+    def _lookup(self, table: jnp.ndarray, x: jnp.ndarray, x_max: jnp.ndarray) -> jnp.ndarray:
+        """Linear interpolation of table rows at x in [0, x_max]; x (B, N, N)
+        -> (B, N, N, hidden_dim)."""
+        T = self.table_size
+        pos = jnp.clip(x / x_max, 0.0, 1.0) * (T - 1)
+        i0 = jnp.minimum(pos.astype(jnp.int32), T - 2)
+        f = (pos - i0.astype(jnp.float32)).astype(table.dtype)[..., None]
+        flat = i0.reshape(-1)
+        lo = jnp.take(table, flat, axis=0, mode="clip").reshape(x.shape + (self.hidden_dim,))
+        hi = jnp.take(table, flat + 1, axis=0, mode="clip").reshape(x.shape + (self.hidden_dim,))
+        return lo + f * (hi - lo)
 
     @nn.compact
     def __call__(self, points: jnp.ndarray) -> jnp.ndarray:
@@ -66,24 +118,52 @@ class GeometricStructureEmbedding(nn.Module):
         knn_idx = knn_idx[..., 1:]  # (B, N, k)
         knn_pts = jnp.take_along_axis(points[:, None, :, :], knn_idx[..., None], axis=2)  # (B, N, k, 3)
         ref_vec = knn_pts - points[:, :, None, :]  # (B, N, k, 3)
-        anc_vec = points[:, None, :, :] - points[:, :, None, :]  # (B, N, N, 3)
-        rv = ref_vec[:, :, None, :, :]  # (B, N, 1, k, 3)
-        av = anc_vec[:, :, :, None, :]  # (B, N, N, 1, 3)
-        sin_v = jnp.linalg.norm(jnp.cross(rv, av), axis=-1)  # (B, N, N, k)
-        cos_v = jnp.sum(rv * av, axis=-1)
-        angles = jnp.arctan2(sin_v, cos_v)
-        a_indices = angles * factor_a
+        # planar channel math: the (B, N, N) anchor-vector planes keep the
+        # big tensors 2-D-tiled; a trailing width-3 axis (and the 5-D
+        # jnp.cross it forces) wastes ~98% of each (8, 128) register tile
+        ax = points[:, None, :, 0] - points[:, :, None, 0]  # (B, N, N)
+        ay = points[:, None, :, 1] - points[:, :, None, 1]
+        az = points[:, None, :, 2] - points[:, :, None, 2]
 
-        d_emb = sinusoidal_embedding(d_indices, self.hidden_dim)
-        d_emb = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_d")(d_emb.astype(self.dtype))
+        proj_d = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_d")
+        proj_a = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_a")
+
+        if self.table_size:
+            d_max = jnp.maximum(jnp.max(jax.lax.stop_gradient(d_indices)), 1e-6)
+            d_emb = self._lookup(self._make_table(proj_d, d_max), d_indices, d_max)
+            a_max = jnp.float32(np.pi * factor_a)
+            a_table = self._make_table(proj_a, a_max)  # shared by all k
+        else:
+            d_emb = sinusoidal_embedding(d_indices, self.hidden_dim)
+            d_emb = proj_d(d_emb.astype(self.dtype))
 
         # fold the k axis into a running reduction: the (B, N, N, k, D)
         # angular tensor is ~1GB at the operating point; per-k passes keep
         # the peak at 1/k and avoid its layout copies
-        proj_a = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_a")
         a_emb = None
         for kk in range(k):
-            e = proj_a(sinusoidal_embedding(a_indices[..., kk], self.hidden_dim).astype(self.dtype))
+            rx = ref_vec[:, :, kk, 0][:, :, None]  # (B, N, 1)
+            ry = ref_vec[:, :, kk, 1][:, :, None]
+            rz = ref_vec[:, :, kk, 2][:, :, None]
+            cx = ry * az - rz * ay
+            cy = rz * ax - rx * az
+            cz = rx * ay - ry * ax
+            sin_v = jnp.sqrt(cx * cx + cy * cy + cz * cz)  # (B, N, N)
+            cos_v = rx * ax + ry * ay + rz * az
+            # degenerate anchor (m == n: zero vector) must give angle 0, not
+            # arctan2(0, -0.0) = pi — the sum above can round to -0.0
+            cos_v = jnp.where((sin_v == 0.0) & (cos_v == 0.0), 1.0, cos_v)
+            a_idx = jnp.arctan2(sin_v, cos_v) * factor_a
+            if self.table_size:
+                e = self._lookup(a_table, a_idx, a_max)
+            else:
+                # angle in [0, pi] exactly (arctan2 of a nonnegative sine),
+                # so the polynomial split bound is static and tight
+                e = proj_a(
+                    sinusoidal_embedding(
+                        a_idx, self.hidden_dim, poly_xmax=float(np.pi * factor_a)
+                    ).astype(self.dtype)
+                )
             if a_emb is None:
                 a_emb = e
             elif self.reduction_a == "max":

@@ -10,7 +10,7 @@ functional and shape-static.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -23,18 +23,25 @@ from unopose_tpu.ops.geometry import compute_feature_similarity
 from unopose_tpu.ops.lrf import batch_lrf, batch_lrf_planar
 
 
-def _block_outputs(atten, scores, n1: int):
+def _block_outputs(atten, scores, n1: int, need_saliency: bool = True):
     """Split per-token scores and compute saliency from the similarity matrix
     (reference coarse :62-76 / fine :85-99).
 
     scores: (B, n1+1+n2+1, 1) raw head outputs on [bg, f1..., bg, f2...].
+    ``need_saliency=False`` (inference) skips the two full softmax passes
+    over the (B, n, n) matrix — the solvers consume only atten + score;
+    saliency feeds the training loss alone.
     """
     s1 = scores[:, 1 : n1 + 1]  # (B, n1, 1)
     s2 = scores[:, n1 + 2 :]  # (B, n2, 1)
+    score = jax.nn.sigmoid(jnp.concatenate([s1, s2], axis=1)[..., 0].astype(jnp.float32))
+    if not need_saliency:
+        return jnp.clip(score, 0.0, 1.0), None
     a = atten[:, 1:, 1:].astype(jnp.float32)
     m1 = jnp.matmul(jax.nn.softmax(a, axis=2), s2.astype(jnp.float32))
-    m2 = jnp.matmul(jax.nn.softmax(jnp.swapaxes(a, 1, 2), axis=2), s1.astype(jnp.float32))
-    score = jax.nn.sigmoid(jnp.concatenate([s1, s2], axis=1)[..., 0].astype(jnp.float32))
+    # column-softmax contracted over rows == softmax(a^T) @ s1 without
+    # materializing the transposed (B, n, n) matrix
+    m2 = jnp.einsum("bij,bik->bjk", jax.nn.softmax(a, axis=1), s1.astype(jnp.float32))
     saliency = jax.nn.sigmoid(jnp.concatenate([m1, m2], axis=1)[..., 0])
     return jnp.clip(score, 0.0, 1.0), jnp.clip(saliency, 0.0, 1.0)
 
@@ -108,11 +115,27 @@ class CoarsePointMatching(nn.Module):
                 self.temp,
                 self.normalize_feat,
             )
-            score, sal = _block_outputs(atten, scores_s[idx], n1)
+            score, sal = _block_outputs(atten, scores_s[idx], n1, need_saliency=all_blocks)
             attens.append(atten)
             scores_l.append(score)
             sals.append(sal)
         return attens, scores_l, sals
+
+
+class _BNVars(nn.Module):
+    """Declares/reads the exact variable tree of an nn.BatchNorm child
+    (params: scale, bias; batch_stats: mean, var) without applying it — the
+    fused inference path folds these into the MLP weights instead."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
 
 
 class FinePositionalEncoding(nn.Module):
@@ -134,6 +157,24 @@ class FinePositionalEncoding(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
     neighbor_mode: str = "subset"  # see ops/ball_query.ball_group_planar
+    # storage dtype of the (B, {32,64,128}, P, S) MLP activations — the
+    # single largest HBM tensor family of the whole forward (~15GB of
+    # traffic per batch in fp32). bfloat16 halves it; GEMMs run at the
+    # MXU's native bf16 and the LRF geometry + BatchNorm statistics stay
+    # fp32, so only the already-BN-normalized activations are rounded.
+    # The reference pins this block to fp32 only to dodge fp16-AMP
+    # overflow (fine :163-165) — bf16 has fp32's range. ``None`` resolves
+    # to fp32 in reference-parity mode ('first_k'), bfloat16 otherwise.
+    compute_dtype: Any = None
+    # fused-kernel override: None = auto (Pallas kernel on TPU inference),
+    # True/False forces (True uses interpret mode off-TPU — for tests)
+    fused: Any = None
+
+    @property
+    def _cdt(self):
+        if self.compute_dtype is not None:
+            return self.compute_dtype
+        return jnp.float32 if self.neighbor_mode == "first_k" else jnp.bfloat16
 
     def _scale(self, center, grouped, r, mlp_dims, train, name, mask=None):
         """Channel-first shared MLP over one neighborhood scale.
@@ -146,6 +187,7 @@ class FinePositionalEncoding(nn.Module):
         ``mask`` (B, P, S) restricts the neighborhood (masked LRF + masked
         max-pool). Returns (B, d_last, P) after max-pooling over samples.
         """
+        cdt = self._cdt
         x, y, z = center
         rel = tuple(g - c[..., None] for g, c in zip(grouped, (x, y, z)))
         chans = []
@@ -155,11 +197,15 @@ class FinePositionalEncoding(nn.Module):
             chans += list(batch_lrf_planar(center, grouped, r, mask=mask))
         else:
             chans += list(rel)
-        h = jnp.stack(chans, axis=1)  # (B, C, P, S)
+        h = jnp.stack(chans, axis=1).astype(cdt)  # (B, C, P, S)
         for i, d in enumerate(mlp_dims):
             cin = h.shape[1]
             W = self.param(f"{name}_fc{i}_kernel", nn.initializers.he_normal(), (cin, d))
-            h = jnp.einsum("bcps,cd->bdps", h, W)
+            # fp32-form einsum on (possibly) bf16-stored activations: the
+            # upcast fuses into the GEMM read, the TPU MXU truncates fp32
+            # operands to bf16 at default precision anyway, and XLA:CPU
+            # (tests) keeps a supported F32xF32 dot
+            h = jnp.einsum("bcps,cd->bdps", h.astype(jnp.float32), W)
             if self.use_bn:
                 h = nn.BatchNorm(
                     use_running_average=not train,
@@ -171,7 +217,8 @@ class FinePositionalEncoding(nn.Module):
                 )(h)
             else:
                 h = h + self.param(f"{name}_fc{i}_bias", nn.initializers.zeros, (d,))[None, :, None, None]
-            h = nn.relu(h)
+            h = nn.relu(h).astype(cdt)
+        h = h.astype(jnp.float32)
         if mask is not None:
             h = jnp.where(mask[:, None, :, :], h, -jnp.inf)
         return jnp.max(h, axis=3)  # max over samples -> (B, d, P)
@@ -215,10 +262,44 @@ class FinePositionalEncoding(nn.Module):
         empty = ~jnp.any(mask1, axis=-1, keepdims=True)
         nearest = jnp.argmin(d2v, axis=-1)[..., None] == jnp.arange(self.nsample2)
         mask1 = mask1 | (empty & nearest)
-        f1 = self._scale(center, g2, self.r1, (32, 64, 128), train, "mlp1", mask=mask1)
-        f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2", mask=valid2)
-        feat = jnp.concatenate([f1, f2], axis=1)  # (B, 256, P)
-        feat = jnp.swapaxes(feat, 1, 2)  # (B, P, 256)
+
+        on_tpu = jax.default_backend() == "tpu"
+        use_fused = (
+            not train
+            and self.use_bn
+            and self.use_lrf
+            and self.use_xyz
+            and (self.fused if self.fused is not None else on_tpu)
+            and pts.shape[1] % 32 == 0
+        )
+        if use_fused:
+            # single Pallas kernel: LRF + folded-BN MLPs + masked max stay
+            # in VMEM (see ops/pe_fused.py); declares the identical
+            # parameter/batch_stats tree as the XLA path below.
+            from unopose_tpu.ops.pe_fused import fold_bn, pe_fused
+
+            folded = {}
+            for name in ("mlp1", "mlp2"):
+                Ws, bs = [], []
+                cin = 6
+                for i, d in enumerate((32, 64, 128)):
+                    W = self.param(f"{name}_fc{i}_kernel", nn.initializers.he_normal(), (cin, d))
+                    scale, bias, mean, var = _BNVars(d, name=f"{name}_bn{i}")()
+                    Wf, bf = fold_bn(W, scale, bias, mean, var)
+                    Ws.append(Wf)
+                    bs.append(bf)
+                    cin = d
+                folded[name] = (Ws, bs)
+            feat = pe_fused(
+                g2, center, mask1, valid2,
+                *folded["mlp1"], *folded["mlp2"],
+                self.r1, self.r2,
+                interpret=not on_tpu,
+            )  # (B, P, 256) points-major
+        else:
+            f1 = self._scale(center, g2, self.r1, (32, 64, 128), train, "mlp1", mask=mask1)
+            f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2", mask=valid2)
+            feat = jnp.swapaxes(jnp.concatenate([f1, f2], axis=1), 1, 2)  # (B, P, 256)
         return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
 
 
@@ -268,6 +349,8 @@ class FinePointMatching(nn.Module):
     use_xyz: bool = True
     parity_gather: bool = False  # reproduce the reference's bg-shifted gather
     pe_neighbor_mode: str = "subset"  # 'first_k' for reference-checkpoint parity
+    pe_dtype: Any = None  # PE MLP activation storage; None -> fp32 in
+    # reference-parity mode ('first_k'), bfloat16 otherwise
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -289,6 +372,9 @@ class FinePointMatching(nn.Module):
             static_argnums=(2,),
             policy=jax.checkpoint_policies.save_only_these_names("pe_grouped"),
         )
+        pe_dtype = self.pe_dtype
+        if pe_dtype is None:
+            pe_dtype = jnp.float32 if self.pe_neighbor_mode == "first_k" else jnp.bfloat16
         pe = RematPE(
             out_dim=self.hidden_dim,
             r1=self.pe_radius1,
@@ -298,6 +384,7 @@ class FinePointMatching(nn.Module):
             use_lrf=self.use_lrf,
             use_xyz=self.use_xyz,
             neighbor_mode=self.pe_neighbor_mode,
+            compute_dtype=pe_dtype,
             name="pe",
         )
         in_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")
@@ -305,9 +392,20 @@ class FinePointMatching(nn.Module):
         bg_token = self.param("bg_token", nn.initializers.normal(0.02), (1, 1, self.hidden_dim))
         bg = jnp.broadcast_to(bg_token.astype(self.dtype), (B, 1, self.hidden_dim))
 
-        f1 = in_proj(f1.astype(self.dtype)) + pe(p1_aligned, train).astype(self.dtype)
+        if train:
+            # separate PE calls: BatchNorm batch statistics are per-cloud in
+            # the reference's training path
+            pe1 = pe(p1_aligned, train)
+            pe2 = pe(p2, train)
+        else:
+            # inference BN uses running stats -> one 2B-batched call is
+            # exact and halves the per-call cost of this grouping/VPU-bound
+            # module
+            pe_both = pe(jnp.concatenate([p1_aligned, p2], axis=0), train)
+            pe1, pe2 = pe_both[:B], pe_both[B:]
+        f1 = in_proj(f1.astype(self.dtype)) + pe1.astype(self.dtype)
         f1 = jnp.concatenate([bg, f1], axis=1)
-        f2 = in_proj(f2.astype(self.dtype)) + pe(p2, train).astype(self.dtype)
+        f2 = in_proj(f2.astype(self.dtype)) + pe2.astype(self.dtype)
         f2 = jnp.concatenate([bg, f2], axis=1)
 
         Scanned = nn.scan(
@@ -337,7 +435,7 @@ class FinePointMatching(nn.Module):
                 self.temp,
                 self.normalize_feat,
             )
-            score, sal = _block_outputs(atten, scores_s[idx], n1)
+            score, sal = _block_outputs(atten, scores_s[idx], n1, need_saliency=train)
             attens.append(atten)
             scores_l.append(score)
             sals.append(sal)

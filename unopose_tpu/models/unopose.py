@@ -159,11 +159,22 @@ class UNOPose(nn.Module):
         sparse_pm, sparse_pm_lrf, sparse_fm, fps_idx_m = sample_pts_feats_wlrf(
             dense_pm, dense_pm_lrf, dense_fm, self.coarse_npoint, return_index=True
         )
-        geo_m = self.geo_embed(jnp.concatenate([bg_point, sparse_pm_lrf], axis=1))
         sparse_po, sparse_po_lrf, sparse_fo, fps_idx_o = sample_pts_feats_wlrf(
             dense_po, dense_po_lrf, dense_fo, self.coarse_npoint, return_index=True
         )
-        geo_o = self.geo_embed(jnp.concatenate([bg_point, sparse_po_lrf], axis=1))
+        # both clouds through ONE geo-embedding call (2B batch): the module
+        # is VPU/transcendental-bound, so doubling its batch halves the
+        # per-call overhead; mathematically identical to two calls
+        geo_both = self.geo_embed(
+            jnp.concatenate(
+                [
+                    jnp.concatenate([bg_point, sparse_pm_lrf], axis=1),
+                    jnp.concatenate([bg_point, sparse_po_lrf], axis=1),
+                ],
+                axis=0,
+            )
+        )
+        geo_m, geo_o = geo_both[:B], geo_both[B:]
 
         out = dict(
             radius=radius,

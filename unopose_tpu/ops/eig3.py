@@ -77,7 +77,7 @@ def largest_eigvec_sym3(A: jnp.ndarray) -> jnp.ndarray:
     return _eigvec_for(A, lams[..., 1], lams[..., 2])
 
 
-def smallest_eigvec_sym3_planar(a, b, c, d, e, f):
+def smallest_eigvec_sym3_planar(a, b, c, d, e, f, use_newton: bool = False):
     """Channel-planar variant of smallest_eigvec_sym3 for symmetric
     [[a, b, c], [b, d, e], [c, e, f]] given as 6 same-shaped arrays.
 
@@ -85,6 +85,8 @@ def smallest_eigvec_sym3_planar(a, b, c, d, e, f):
     inputs. Planar form keeps every intermediate in well-tiled (..., lanes)
     layouts — a (..., 3, 3) matrix tensor puts the 3x3 in the tiled minor
     dims and wastes ~99% of each (8, 128) register tile on TPU.
+    ``use_newton``: acos-free eigenvalue trisection (required inside Pallas
+    kernels — Mosaic has no acos lowering).
     """
     a, b, c, d, e, f = (x.astype(jnp.float32) for x in (a, b, c, d, e, f))
     p1 = b * b + c * c + e * e
@@ -97,9 +99,9 @@ def smallest_eigvec_sym3_planar(a, b, c, d, e, f):
     bb, bc, be = b / sp, c / sp, e / sp
     detB = ba * (bd * bf - be * be) - bb * (bb * bf - be * bc) + bc * (bb * be - bd * bc)
     r = jnp.clip(detB / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    l1 = q + 2.0 * p * jnp.cos(phi)
-    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    cp1, cp3 = cos_phi_pair(r, use_newton=use_newton)
+    l1 = q + 2.0 * p * cp1
+    l3 = q + 2.0 * p * cp3
     l2 = 3.0 * q - l1 - l3
     iso = p2 <= 1e-30
     l1 = jnp.where(iso, q, l1)
@@ -135,3 +137,32 @@ def smallest_eigvec_sym3_planar(a, b, c, d, e, f):
     ok = nrm > 1e-20 * scale * scale
     inv = jnp.where(ok, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
     return v0 * inv, v1 * inv, jnp.where(ok, v2 * inv, 1.0)
+
+
+def _cos_acos_div3_newton(r: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
+    """cos(arccos(r) / 3) without acos — Newton on the triple-angle cubic
+    4c^3 - 3c = r, whose relevant root lies in [1/2, 1] for r in [-1, 1].
+
+    Mosaic (Pallas TPU) has no acos lowering; this is pure mul/add/clamp.
+    Quadratic convergence except at the double root r = -1 (two equal top
+    eigenvalues), where the result is still accurate to ~1e-3 — more than
+    enough for the (A - l1)(A - l2) projector that consumes it.
+    """
+    r = jnp.clip(r, -1.0, 1.0)
+    c = 0.5 + 0.5 * jnp.sqrt(jnp.maximum((r + 1.0) * 0.5, 0.0))  # good init, exact at both ends
+    for _ in range(iters):
+        f = 4.0 * c * c * c - 3.0 * c - r
+        df = jnp.maximum(12.0 * c * c - 3.0, 1e-3)
+        c = jnp.clip(c - f / df, 0.5, 1.0)
+    return c
+
+
+def cos_phi_pair(r: jnp.ndarray, use_newton: bool = False):
+    """(cos(phi), cos(phi + 2*pi/3)) for phi = arccos(r)/3, r in [-1, 1]."""
+    if use_newton:
+        c1 = _cos_acos_div3_newton(r)
+        s1 = jnp.sqrt(jnp.maximum(1.0 - c1 * c1, 0.0))  # sin(phi) >= 0 on [0, pi/3]
+        c3 = -0.5 * c1 - (jnp.sqrt(3.0) / 2.0) * s1
+        return c1, c3
+    phi = jnp.arccos(jnp.clip(r, -1.0, 1.0)) / 3.0
+    return jnp.cos(phi), jnp.cos(phi + 2.0 * jnp.pi / 3.0)

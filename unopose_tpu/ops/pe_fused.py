@@ -1,0 +1,173 @@
+"""Fused fine-PE kernel: masked LRF + shared MLP + masked max-pool in VMEM.
+
+The fine matcher's positional encoding (reference
+oneref_predator_fine_point_matching.py:138-178) expands every point's
+S-sample neighborhood through a 6->32->64->128 shared MLP and max-pools over
+samples. As separate XLA ops the (B, {32,64,128}, P, S) activations round-trip
+HBM (~7.5GB written+read per 16-pair batch) — the profiled top cost of the
+whole forward. This Pallas kernel keeps one (P_blk, S) point-block's entire
+pipeline — relative coords, masked per-neighborhood LRF (ops/lrf.py
+batch_lrf_planar semantics), both scales' MLPs with inference-folded
+BatchNorm, masked max — in VMEM, so only the grouped inputs (B, 3, P, S) and
+the (B, 256, P) result touch HBM.
+
+Inference-only (the training path keeps the XLA formulation for batch-stat
+updates and gradients). Numerics: MLP matmuls in bf16 with fp32
+accumulation — the same contraction precision as the XLA path on TPU
+(default matmul precision truncates fp32 operands to bf16); LRF geometry in
+fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unopose_tpu.ops.eig3 import smallest_eigvec_sym3_planar
+
+MLP_DIMS = (32, 64, 128)
+
+
+def _masked_lrf_block(rx, ry, rz, m, r_lrf: float):
+    """batch_lrf_planar on one (P_blk, S) block; m is a 0/1 f32 mask.
+
+    Returns (o0, o1, o2) LRF coordinates scaled by 1/r_lrf. Every
+    per-point scalar stays (P_blk, 1) — Mosaic wants >= 2-D values.
+    """
+    cnt = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)  # (P_blk, 1)
+    mean = lambda t: jnp.sum(t * m, axis=-1, keepdims=True) / cnt
+    msum = lambda t: jnp.sum(t * m, axis=-1, keepdims=True)
+
+    a = mean(rx * rx)
+    b = mean(rx * ry)
+    c = mean(rx * rz)
+    d = mean(ry * ry)
+    e = mean(ry * rz)
+    f = mean(rz * rz)
+    # use_newton: Mosaic has no acos lowering
+    z0, z1, z2 = smallest_eigvec_sym3_planar(a, b, c, d, e, f, use_newton=True)  # (P_blk, 1)
+
+    cp = -(z0 * rx + z1 * ry + z2 * rz)
+    vote = msum((cp > 1e-3).astype(jnp.float32)) - msum((cp < -1e-3).astype(jnp.float32))
+    sgn = jnp.where(vote < 0, -1.0, 1.0)
+    z0, z1, z2 = z0 * sgn, z1 * sgn, z2 * sgn
+
+    norm = z0 * rx + z1 * ry + z2 * rz  # (P_blk, S)
+    vix = rx - norm * z0
+    viy = ry - norm * z1
+    viz = rz - norm * z2
+    x_l2 = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    w = (r_lrf - x_l2) ** 2 * (norm * norm)
+    vx = msum(w * vix)
+    vy = msum(w * viy)
+    vz = msum(w * viz)
+    vn = jnp.sqrt(vx * vx + vy * vy + vz * vz) + 1e-10
+    x0, x1, x2 = vx / vn, vy / vn, vz / vn
+
+    y0 = x1 * z2 - x2 * z1
+    y1 = x2 * z0 - x0 * z2
+    y2 = x0 * z1 - x1 * z0
+
+    inv_r = 1.0 / r_lrf
+    o0 = (x0 * rx + x1 * ry + x2 * rz) * inv_r
+    o1 = (y0 * rx + y1 * ry + y2 * rz) * inv_r
+    o2 = (z0 * rx + z1 * ry + z2 * rz) * inv_r
+    return o0, o1, o2
+
+
+def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int):
+    """One scale: 6-channel planes -> MLP -> masked max. Returns (128, P_blk)."""
+    l0, l1, l2 = _masked_lrf_block(rx, ry, rz, m, r)
+    chans = jnp.stack([rx, ry, rz, l0, l1, l2], axis=0)  # (6, P_blk, S)
+    h = chans.reshape(6, p_blk * s).astype(jnp.bfloat16)
+    for W, b in zip(Ws, bs):
+        z = jax.lax.dot_general(
+            W.astype(jnp.bfloat16),
+            h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, L)
+        h = jnp.maximum(z + b, 0.0).astype(jnp.bfloat16)  # b is (d, 1)
+    d_last = h.shape[0]
+    h = h.astype(jnp.float32).reshape(d_last, p_blk, s)
+    h = jnp.where(m[None, :, :] > 0.0, h, -jnp.inf)
+    return jnp.max(h, axis=2)  # (128, P_blk)
+
+
+def _pe_kernel(
+    gx_ref, gy_ref, gz_ref, cx_ref, cy_ref, cz_ref, m1_ref, m2_ref,
+    w10_ref, w11_ref, w12_ref, b10_ref, b11_ref, b12_ref,
+    w20_ref, w21_ref, w22_ref, b20_ref, b21_ref, b22_ref,
+    out_ref, *, r1: float, r2: float, p_blk: int, s: int,
+):
+    gx = gx_ref[0]
+    gy = gy_ref[0]
+    gz = gz_ref[0]
+    rx = gx - cx_ref[0]  # centers come in as (p_blk, 1) columns
+    ry = gy - cy_ref[0]
+    rz = gz - cz_ref[0]
+    m1 = m1_ref[0]
+    m2 = m2_ref[0]
+
+    f1 = _scale_block(rx, ry, rz, m1, r1, (w10_ref[...], w11_ref[...], w12_ref[...]),
+                      (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s)
+    f2 = _scale_block(rx, ry, rz, m2, r2, (w20_ref[...], w21_ref[...], w22_ref[...]),
+                      (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s)
+    # (256, p_blk) -> (p_blk, 256): Mosaic requires the minor block dim to
+    # be 128-divisible, so the output lives points-major
+    out_ref[0] = jnp.concatenate([f1, f2], axis=0).T
+
+
+def pe_fused(
+    grouped,  # (gx, gy, gz) each (B, P, S) absolute neighbor coords
+    center,  # (cx, cy, cz) each (B, P)
+    mask1,  # (B, P, S) bool — scale-1 slots
+    mask2,  # (B, P, S) bool — valid scale-2 slots
+    w1: Sequence[jnp.ndarray],  # three (cin, d) folded kernels, scale 1
+    b1: Sequence[jnp.ndarray],  # three (d,) folded biases
+    w2: Sequence[jnp.ndarray],
+    b2: Sequence[jnp.ndarray],
+    r1: float,
+    r2: float,
+    p_blk: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused two-scale PE. Returns (B, P, 256) float32 (pre-mlp3 features)."""
+    gx, gy, gz = (g.astype(jnp.float32) for g in grouped)
+    # centers as (B, P, 1) columns: a (1, p_blk) block of a (B, P) array
+    # violates Mosaic's 128-divisible-minor-dim rule
+    cx, cy, cz = (c.astype(jnp.float32)[..., None] for c in center)
+    B, P, S = gx.shape
+    assert P % p_blk == 0, (P, p_blk)
+    m1 = mask1.astype(jnp.float32)
+    m2 = mask2.astype(jnp.float32)
+
+    grid = (B, P // p_blk)
+    blk3 = pl.BlockSpec((1, p_blk, S), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((1, p_blk, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    # biases as (d, 1) columns: 1-D VMEM arrays are fragile under Mosaic
+    weights = [*w1, *[b.reshape(-1, 1) for b in b1], *w2, *[b.reshape(-1, 1) for b in b2]]
+    weights = [w.astype(jnp.float32) for w in weights]
+    kernel = functools.partial(_pe_kernel, r1=float(r1), r2=float(r2), p_blk=p_blk, s=S)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk3] * 3 + [blk2] * 3 + [blk3] * 2 + [full(w) for w in weights],
+        out_specs=pl.BlockSpec((1, p_blk, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
+        interpret=interpret,
+    )(gx, gy, gz, cx, cy, cz, m1, m2, *weights)
+    return out
+
+
+def fold_bn(W: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray, eps: float = 1e-5):
+    """Fold inference BatchNorm into the preceding linear: y = s*(Wx - mu)/sqrt(v+eps) + b."""
+    inv = scale / jnp.sqrt(var + eps)
+    return W * inv[None, :], bias - mean * inv
