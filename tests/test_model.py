@@ -245,3 +245,22 @@ def test_sinusoid_poly_split_matches_exact(rng):
     a = np.asarray(sinusoidal_embedding(x, 256))
     b = np.asarray(sinusoidal_embedding(x, 256, poly_xmax=12.0))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_fused_assignment_matches_xla(tiny_model):
+    """Model inference with the fused Pallas assignment solver (interpret on
+    CPU) matches the XLA materialized-matrix path."""
+    cfg, model, variables, inputs = tiny_model
+    m_x = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.float32)
+    m_f = m_x.clone(fused_assignment=True)
+    kw = dict(train=False, rngs={"sample": jax.random.PRNGKey(7)}, mutable=False)
+    a = m_x.apply(variables, inputs, **kw)
+    b = m_f.apply(variables, inputs, **kw)
+    # identical hypothesis sampling (same key) -> identical init pose; the
+    # fine solve differs only by the kernel's bf16 logit matmul
+    np.testing.assert_allclose(np.asarray(a["init_R"]), np.asarray(b["init_R"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["pred_R"]), np.asarray(b["pred_R"]), atol=0.05)
+    np.testing.assert_allclose(np.asarray(a["pred_t"]), np.asarray(b["pred_t"]), atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(a["pred_pose_score"]), np.asarray(b["pred_pose_score"]), atol=0.05
+    )

@@ -232,11 +232,11 @@ def test_fine_matching_parity(ref_mods, rng):
         focusing_factor=3, parity_gather=True, pe_neighbor_mode="first_k",
     )
     params, stats = convert_fine_matching(_sd_np(tm), prefix="", nblock=nblock)
-    attens, scores_l, sals = fm.apply(
+    attens, scores_l, sals, _ = fm.apply(
         {"params": params, "batch_stats": stats},
         jnp.asarray(p1), jnp.asarray(f1), jnp.asarray(geo1), jnp.asarray(fps1),
         jnp.asarray(p2), jnp.asarray(f2), jnp.asarray(geo2), jnp.asarray(fps2),
-        jnp.asarray(init_R), jnp.asarray(init_t), train=False,
+        jnp.asarray(init_R), jnp.asarray(init_t), train=False, with_saliency=True,
     )
     np.testing.assert_allclose(np.asarray(attens[-1]), want_atten, atol=ATOL, rtol=0)
     np.testing.assert_allclose(np.asarray(scores_l[-1]), want_score, atol=ATOL, rtol=0)

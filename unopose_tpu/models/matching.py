@@ -354,7 +354,7 @@ class FinePointMatching(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, p1, f1, geo1, fps_idx1, p2, f2, geo2, fps_idx2, init_R, init_t, train: bool = False):
+    def __call__(self, p1, f1, geo1, fps_idx1, p2, f2, geo2, fps_idx2, init_R, init_t, train: bool = False, return_proj: bool = False, with_saliency: bool | None = None):
         """p1/p2 (B, n, 3) dense clouds (normalized), f1/f2 (B, n, C) dense
         features, geo* (B, 197, 197, C) sparse embeddings, fps_idx* (B, 196).
         init_R/init_t: coarse pose (p1 gets pre-aligned into p2's frame,
@@ -426,17 +426,24 @@ class FinePointMatching(nn.Module):
         )((f1, f2), geo1, fps_idx1, geo2, fps_idx2)
 
         blocks = range(self.nblock) if train else [self.nblock - 1]
-        attens, scores_l, sals = [], [], []
+        attens, scores_l, sals, projs = [], [], [], []
         for idx in blocks:
-            atten = compute_feature_similarity(
-                out_proj(f1s[idx]).astype(jnp.float32),
-                out_proj(f2s[idx]).astype(jnp.float32),
-                self.sim_type,
-                self.temp,
-                self.normalize_feat,
-            )
-            score, sal = _block_outputs(atten, scores_s[idx], n1, need_saliency=train)
-            attens.append(atten)
+            f1o = out_proj(f1s[idx]).astype(jnp.float32)
+            f2o = out_proj(f2s[idx]).astype(jnp.float32)
+            if return_proj and not train:
+                # fused-assignment path (ops/assignment_fused.py): the
+                # solver rebuilds the similarity matrix tile-by-tile from
+                # these features; never materialize the (B, n, n) matrix
+                attens.append(None)
+                projs.append((f1o, f2o))
+                score, sal = _block_outputs(None, scores_s[idx], n1, need_saliency=False)
+            else:
+                atten = compute_feature_similarity(
+                    f1o, f2o, self.sim_type, self.temp, self.normalize_feat
+                )
+                need_sal = train if with_saliency is None else with_saliency
+                score, sal = _block_outputs(atten, scores_s[idx], n1, need_saliency=need_sal)
+                attens.append(atten)
             scores_l.append(score)
             sals.append(sal)
-        return attens, scores_l, sals
+        return attens, scores_l, sals, projs

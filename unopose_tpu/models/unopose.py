@@ -39,6 +39,8 @@ class UNOPose(nn.Module):
     fine_npoint: int = 2048
     use_ref_rad: bool = False
     test_coarse_only: bool = False
+    fused_assignment: Any = None  # None = auto: fused Pallas assignment
+    # solver on TPU inference (ops/assignment_fused.py); True/False forces
     fine_only: bool = False  # NetOneRef ablation (reference
     # oneref_grf_predator_fine_pose_estimation_model.py:10-76): skip the
     # coarse stage; the fine stage sees the un-initialized cloud (identity
@@ -223,10 +225,51 @@ class UNOPose(nn.Module):
                 out = {k: out[k] for k in keep if k in out}
             return out
 
-        f_attens, f_scores, f_sals = self.fine_matching(
-            dense_pm, dense_fm, geo_m, fps_idx_m, dense_po, dense_fo, geo_o, fps_idx_o, init_R, init_t, train=train
+        fm = self.fine_point_matching or CN()
+        use_fused_assign = (
+            not train
+            and fm.get("sim_type", "cosine") == "cosine"
+            and fm.get("normalize_feat", True)
+            and jax.default_backend() == "tpu"
+            if self.fused_assignment is None
+            else self.fused_assignment
+        )
+        f_attens, f_scores, f_sals, f_projs = self.fine_matching(
+            dense_pm,
+            dense_fm,
+            geo_m,
+            fps_idx_m,
+            dense_po,
+            dense_fo,
+            geo_o,
+            fps_idx_o,
+            init_R,
+            init_t,
+            train=train,
+            return_proj=bool(use_fused_assign),
         )
         out.update(fine_attens=f_attens, fine_scores=f_scores, fine_saliencies=f_sals)
+
+        if not train and use_fused_assign:
+            from unopose_tpu.ops.assignment_fused import compute_fine_Rt_overlap_fused
+
+            pred_R, pred_t, pred_score = compute_fine_Rt_overlap_fused(
+                f_projs[-1][0],
+                f_projs[-1][1],
+                f_scores[-1],
+                dense_pm,
+                dense_po,
+                None,
+                temp=fm.get("temp", 0.1),
+                interpret=jax.default_backend() != "tpu",
+            )
+            out["pred_R"] = pred_R
+            out["pred_t"] = pred_t * (radius[:, None] + 1e-6)
+            out["pred_pose_score"] = pred_score
+            if not return_intermediates:
+                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score")
+                out = {k: out[k] for k in keep if k in out}
+            return out
 
         if not train:
             pred_R, pred_t, pred_score = compute_fine_Rt_overlap(f_attens[-1], f_scores[-1], dense_pm, dense_po, None)

@@ -148,6 +148,38 @@ def _top_eigvec_sym4_planar(k_entries, n_squarings: int = 14):
     return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
 
 
+def kabsch_rotation_planar(h_entries):
+    """Planar Kabsch: 9 correlation-entry arrays (Hxx, Hxy, Hxz, Hyx, Hyy,
+    Hyz, Hzx, Hzy, Hzz), each (...,) -> 9 rotation-entry arrays
+    (r00..r22) of the same shape. Everything stays in well-tiled planes —
+    no (..., 3, 3) or (..., 4) minor-dim tensors."""
+    Sxx, Sxy, Sxz, Syx, Syy, Syz, Szx, Szy, Szz = (x.astype(jnp.float32) for x in h_entries)
+    k_entries = (
+        Sxx + Syy + Szz,
+        Syz - Szy,
+        Szx - Sxz,
+        Sxy - Syx,
+        Sxx - Syy - Szz,
+        Sxy + Syx,
+        Szx + Sxz,
+        -Sxx + Syy - Szz,
+        Syz + Szy,
+        -Sxx - Syy + Szz,
+    )
+    q = _top_eigvec_sym4_planar(k_entries)  # (..., 4)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - z * w)
+    r02 = 2 * (x * z + y * w)
+    r10 = 2 * (x * y + z * w)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - x * w)
+    r20 = 2 * (x * z - y * w)
+    r21 = 2 * (y * z + x * w)
+    r22 = 1 - 2 * (x * x + y * y)
+    return r00, r01, r02, r10, r11, r12, r20, r21, r22
+
+
 def kabsch_rotation(H: jnp.ndarray) -> jnp.ndarray:
     """Optimal rotation R maximizing sum_i w_i r_i . (R s_i) for H = sum_i w_i s_i r_i^T.
 

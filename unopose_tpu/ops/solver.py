@@ -121,18 +121,62 @@ def compute_coarse_Rt_overlap(
     idx1 = jnp.minimum(idx // N2, N1 - 1)
     idx2 = idx % N2
 
-    p1 = gather_points(pts1, idx1).reshape(B * n_proposal1, 3, 3)
-    p2 = gather_points(pts2, idx2).reshape(B * n_proposal1, 3, 3)
-    rs, ts = weighted_procrustes(p2, p1)  # p1 ~= R p2 + t
-    rs = rs.reshape(B, n_proposal1, 3, 3)
-    ts = ts.reshape(B, n_proposal1, 1, 3)
+    # triplet Procrustes in planar form: every per-hypothesis quantity is a
+    # (B, P1) array — the former (B*P1, 3, 3) tensors put the 3x3 in the
+    # tiled minor dims and spent ~2x the time on layout
+    from unopose_tpu.ops.gather_pallas import gather_planar
+    from unopose_tpu.ops.procrustes import kabsch_rotation_planar
 
-    p1 = p1.reshape(B, n_proposal1, 3, 3)
-    p2 = p2.reshape(B, n_proposal1, 3, 3)
-    resid = jnp.linalg.norm(jnp.matmul(p1 - ts, rs) - p2, axis=3).mean(axis=2)  # (B, P1)
+    x1, y1, z1 = pts1[..., 0], pts1[..., 1], pts1[..., 2]
+    x2, y2, z2 = pts2[..., 0], pts2[..., 1], pts2[..., 2]
+
+    def gp(x, y, z, idx):
+        planes = gather_planar(x, y, z, idx[..., None])  # wants (B, P, S)
+        return tuple(p[..., 0] for p in planes)
+
+    r_m = [gp(x1, y1, z1, idx1[:, m::3]) for m in range(3)]  # ref = pts1 triplets
+    s_m = [gp(x2, y2, z2, idx2[:, m::3]) for m in range(3)]  # src = pts2 triplets
+
+    third = jnp.float32(1.0 / 3.0)
+    cr = [sum(p[k] for p in r_m) * third for k in range(3)]  # centroids (B, P1)
+    cs = [sum(p[k] for p in s_m) * third for k in range(3)]
+    dr = [[p[k] - cr[k] for k in range(3)] for p in r_m]  # [m][coord]
+    ds = [[p[k] - cs[k] for k in range(3)] for p in s_m]
+    # H[i][j] = sum_m w * src_i * ref_j, w = 1/3 (normalized uniform)
+    H = [[sum(ds[m][i] * dr[m][j] for m in range(3)) * third for j in range(3)] for i in range(3)]
+    R9 = kabsch_rotation_planar((H[0][0], H[0][1], H[0][2], H[1][0], H[1][1], H[1][2], H[2][0], H[2][1], H[2][2]))
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = R9
+    # t = cr - R cs (R maps src->ref)
+    tx = cr[0] - (r00 * cs[0] + r01 * cs[1] + r02 * cs[2])
+    ty = cr[1] - (r10 * cs[0] + r11 * cs[1] + r12 * cs[2])
+    tz = cr[2] - (r20 * cs[0] + r21 * cs[1] + r22 * cs[2])
+
+    # residual: mean_m | R^T (ref_m - t) - src_m |
+    resid = 0.0
+    for m in range(3):
+        ux = r_m[m][0] - tx
+        uy = r_m[m][1] - ty
+        uz = r_m[m][2] - tz
+        vx = ux * r00 + uy * r10 + uz * r20
+        vy = ux * r01 + uy * r11 + uz * r21
+        vz = ux * r02 + uy * r12 + uz * r22
+        ex = vx - s_m[m][0]
+        ey = vy - s_m[m][1]
+        ez = vz - s_m[m][2]
+        resid = resid + jnp.sqrt(ex * ex + ey * ey + ez * ez)
+    resid = resid * third  # (B, P1)
+
     _, keep = jax.lax.top_k(-resid, n_proposal2)  # lowest residual
-    rs = jnp.take_along_axis(rs, keep[..., None, None], axis=1)  # (B, P2, 3, 3)
-    ts = jnp.take_along_axis(ts, keep[..., None, None], axis=1)  # (B, P2, 1, 3)
+    take = lambda p: jnp.take_along_axis(p, keep, axis=1)  # (B, P2)
+    rs = jnp.stack(
+        [
+            jnp.stack([take(r00), take(r01), take(r02)], axis=-1),
+            jnp.stack([take(r10), take(r11), take(r12)], axis=-1),
+            jnp.stack([take(r20), take(r21), take(r22)], axis=-1),
+        ],
+        axis=-2,
+    )  # (B, P2, 3, 3)
+    ts = jnp.stack([take(tx), take(ty), take(tz)], axis=-1)[:, :, None, :]  # (B, P2, 1, 3)
 
     # hypothesis selection: inlier-weighted mean distance to model points.
     # One fused pass: XLA folds the min over N2 into the distance
