@@ -35,6 +35,9 @@ def main():
     n_dev = len(jax.devices())
     B = per_chip * n_dev
     cfg = get_cfg()
+    # synthetic benchmark: random-init backbone (the pretrained DINOv2
+    # checkpoint is not present on bench hosts; weights don't change timing)
+    cfg.model.feature_extraction.pretrained = False
     model = UNOPose.from_config(cfg.model, dtype=jnp.bfloat16, backbone_dtype=jnp.bfloat16)
 
     it = synthetic_train_iter(B)

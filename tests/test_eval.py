@@ -331,3 +331,24 @@ def test_mesh_raster_vsd_matches_oracle_vsd():
         # VSD-error shift stays <1e-3, i.e. recall flips only for estimates
         # already within 1e-3 of a threshold — AR delta << the 0.3pt budget
         np.testing.assert_allclose(e_fast, e_ref, atol=1e-3)
+
+
+def test_inference_shard_indices_partition():
+    """shard_indices is an exact disjoint cover of the dataset (reference
+    InferenceSampler semantics, my_distributed_sampler.py:244-277)."""
+    from unopose_tpu.engine.inference import shard_indices
+
+    for n, k in ((10, 3), (7, 7), (5, 8), (100, 4), (0, 2)):
+        all_idx = [i for r in range(k) for i in shard_indices(n, k, r)]
+        assert all_idx == list(range(n)), (n, k)
+
+
+def test_merge_csv_shards(tmp_path):
+    from unopose_tpu.engine.inference import merge_csv_shards
+
+    p = tmp_path / "result.csv"
+    p.write_text("a\nb\n")
+    (tmp_path / "result.csv.rank1").write_text("c\n")
+    (tmp_path / "result.csv.rank2").write_text("d\n")
+    merge_csv_shards(str(p), 3)
+    assert p.read_text() == "a\nb\nc\nd\n"

@@ -168,7 +168,8 @@ def test_coarse_matching_parity(ref_mods, rng):
     fm = CoarsePointMatching(nblock=nblock, input_dim=48, hidden_dim=HID, out_dim=HID, temp=0.1)
     params = convert_coarse_matching(_sd_np(tm), prefix="", nblock=nblock)
     attens, scores_l, sals = fm.apply(
-        {"params": params}, jnp.asarray(f1), jnp.asarray(geo1), jnp.asarray(f2), jnp.asarray(geo2), all_blocks=False
+        {"params": params}, jnp.asarray(f1), jnp.asarray(geo1), jnp.asarray(f2), jnp.asarray(geo2),
+        all_blocks=False, with_saliency=True,
     )
     np.testing.assert_allclose(np.asarray(attens[-1]), want_atten, atol=ATOL, rtol=0)
     np.testing.assert_allclose(np.asarray(scores_l[-1]), want_score, atol=ATOL, rtol=0)

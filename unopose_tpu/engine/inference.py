@@ -31,7 +31,15 @@ def pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([x, reps], axis=0)
 
 
-def prefetch_items(dataset, depth: int = 2):
+def shard_indices(n: int, num_shards: int, shard_index: int) -> range:
+    """Exact contiguous split of [0, n) across ranks (counterpart of the
+    reference InferenceSampler, my_distributed_sampler.py:244-277)."""
+    sizes = [n // num_shards + (1 if r < n % num_shards else 0) for r in range(num_shards)]
+    start = sum(sizes[:shard_index])
+    return range(start, start + sizes[shard_index])
+
+
+def prefetch_items(dataset, indices=None, depth: int = 2):
     """Background-thread prefetch of ``dataset[i]`` so the per-image host
     preprocessing (RLE decode, crop, backproject — SURVEY hard-part g)
     overlaps device compute instead of serializing with it (the reference
@@ -39,12 +47,14 @@ def prefetch_items(dataset, depth: int = 2):
     import queue
     import threading
 
+    if indices is None:
+        indices = range(len(dataset))
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     SENTINEL = object()
 
     def worker():
         try:
-            for i in range(len(dataset)):
+            for i in indices:
                 q.put(dataset[i])
         finally:
             q.put(SENTINEL)
@@ -63,22 +73,37 @@ def run_inference(
     save_path: str,
     instance_batch_size: int = 16,
     rng_seed: int = 0,
+    num_shards: Optional[int] = None,
+    shard_index: Optional[int] = None,
 ) -> List[str]:
     """infer_fn(inputs: dict of (B, ...) arrays, key) -> dict with
     pred_R (B,3,3), pred_t (B,3) [m], pred_pose_score (B,).
 
     ``dataset``: BOPTestsetPoseFreeOneRef. Writes the BOP19 CSV and a json
     dump of the detections augmented with predicted poses.
+
+    Multi-process: by default each jax process handles its exact contiguous
+    slice of the test images (replacing the reference InferenceSampler) and
+    writes ``save_path`` with a ``.rankN`` suffix on non-zero ranks; merge
+    with ``merge_csv_shards`` after all ranks finish.
     """
     import jax
+
+    if num_shards is None:
+        num_shards = jax.process_count()
+    if shard_index is None:
+        shard_index = jax.process_index()
+    my_indices = shard_indices(len(dataset), num_shards, shard_index)
+    if num_shards > 1 and shard_index > 0:
+        save_path = f"{save_path}.rank{shard_index}"
 
     bs = instance_batch_size
     lines: List[str] = []
     dets_out = {k: [dict(d) for d in v] for k, v in dataset.dets.items()}
-    key = jax.random.PRNGKey(rng_seed)
+    key = jax.random.PRNGKey(rng_seed + shard_index)
 
     model_keys = ("pts", "rgb", "rgb_choose", "tem1_rgb", "tem1_choose", "tem1_pts")
-    for i, data in enumerate(prefetch_items(dataset)):
+    for i, data in enumerate(prefetch_items(dataset, my_indices)):
         t0 = time.perf_counter()
         n_instance = data["pts"].shape[0]
         n_chunks = int(np.ceil(n_instance / bs))
@@ -129,13 +154,21 @@ def run_inference(
                 )
             )
         if (i + 1) % 50 == 0:
-            logger.info("inference [%d/%d]", i + 1, len(dataset))
+            logger.info("inference [%d/%d]", i + 1, len(my_indices))
 
     with open(save_path, "w") as f:
         f.writelines(lines)
     logger.info("saved to %s", save_path)
     Path(save_path.replace(".csv", ".json")).write_text(json.dumps(dets_out))
     return lines
+
+
+def merge_csv_shards(save_path: str, num_shards: int) -> None:
+    """Concatenate rank CSVs (rank 0 = ``save_path`` itself) into
+    ``save_path`` once every rank has written its part."""
+    parts = [Path(save_path)] + [Path(f"{save_path}.rank{r}") for r in range(1, num_shards)]
+    text = "".join(p.read_text() for p in parts if p.exists())
+    Path(save_path).write_text(text)
 
 
 def make_infer_fn(model, variables):

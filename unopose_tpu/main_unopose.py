@@ -182,7 +182,7 @@ def restore_eval_variables(model, cfg):
 
 def run_eval(model, cfg, out_dir, variables=None, tag=""):
     from unopose_tpu.data.dataset_test import BOPTestsetPoseFreeOneRef
-    from unopose_tpu.engine.inference import make_infer_fn, run_inference
+    from unopose_tpu.engine.inference import make_infer_fn, merge_csv_shards, run_inference
 
     dataset = BOPTestsetPoseFreeOneRef(
         cfg.dataloader.test,
@@ -196,6 +196,18 @@ def run_eval(model, cfg, out_dir, variables=None, tag=""):
     save_path = osp.join(out_dir, f"result_{cfg.misc.exp_name}{tag}_{name}-test.csv")
     os.makedirs(out_dir, exist_ok=True)
     run_inference(infer_fn, dataset, save_path, instance_batch_size=cfg.test.instance_batch_size)
+
+    # multi-process: each rank wrote its image slice; rank 0 merges and
+    # scores (reference comm.synchronize + single-rank eval, engine.py:74-84)
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        from unopose_tpu.parallel.mesh import sync_processes
+
+        sync_processes()
+        if _jax.process_index() != 0:
+            return
+        merge_csv_shards(save_path, _jax.process_count())
 
     # score the CSV with the built-in BOP19 evaluator when GT is on disk
     # (reference engine.py:74-84 shells out to the vendored bop_toolkit here)

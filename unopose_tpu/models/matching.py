@@ -78,7 +78,7 @@ class CoarsePointMatching(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f1, geo1, f2, geo2, all_blocks: bool = False):
+    def __call__(self, f1, geo1, f2, geo2, all_blocks: bool = False, with_saliency: bool | None = None):
         """f1 (B, n1, C), geo1 (B, n1+1, n1+1, C), f2 (B, n2, C), geo2 likewise.
 
         Returns (attens, scores, saliencies): lists over the evaluated blocks
@@ -115,7 +115,8 @@ class CoarsePointMatching(nn.Module):
                 self.temp,
                 self.normalize_feat,
             )
-            score, sal = _block_outputs(atten, scores_s[idx], n1, need_saliency=all_blocks)
+            need_sal = all_blocks if with_saliency is None else with_saliency
+            score, sal = _block_outputs(atten, scores_s[idx], n1, need_saliency=need_sal)
             attens.append(atten)
             scores_l.append(score)
             sals.append(sal)

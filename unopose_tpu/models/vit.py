@@ -60,7 +60,13 @@ class ViTBlock(nn.Module):
         k = k.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
         attn = jnp.einsum("bhnc,bhmc->bhnm", q, k) / hd**0.5
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if jnp.dtype(self.dtype).itemsize >= 4:
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        else:
+            # bf16 softmax (max-subtracted, so stable): skips two fp32
+            # round-trips of the (2B, 12, 261, 261) score tensor per block;
+            # ~0.8% relative prob noise on a frozen backbone
+            attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmc->bhnc", attn, v).transpose(0, 2, 1, 3).reshape(B, N, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="attn_proj")(out)
         if self.init_values is not None:

@@ -58,3 +58,13 @@ def local_batch_slice(global_batch_size: int) -> slice:
     per = global_batch_size // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def sync_processes(name: str = "sync") -> None:
+    """Cross-process barrier (replaces detectron2 comm.synchronize,
+    reference engine.py:201). No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
