@@ -251,7 +251,25 @@ class FinePositionalEncoding(nn.Module):
             feat = jnp.swapaxes(feat, 1, 2)
             return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
 
-        g2, d2_sel, valid2 = ball_group_planar(self.r2, self.nsample2, pts, mode=self.neighbor_mode)
+        on_tpu_g = jax.default_backend() == "tpu"
+        use_pallas_group = (
+            self.neighbor_mode == "subset"
+            and (self.fused if self.fused is not None else on_tpu_g)
+            and pts.shape[1] % self.nsample2 == 0
+            and pts.shape[1] % 64 == 0
+        )
+        if use_pallas_group:
+            # fused grouping kernel: distance row, first-hit reduce and
+            # neighbor selection in VMEM (ops/ball_query.py
+            # ball_group_subset_pallas) — the XLA path materializes the
+            # (B, N, N) mask and pays three banked gathers
+            from unopose_tpu.ops.ball_query import ball_group_subset_pallas
+
+            g2, d2_sel, valid2 = ball_group_subset_pallas(
+                self.r2, self.nsample2, pts, interpret=not on_tpu_g
+            )
+        else:
+            g2, d2_sel, valid2 = ball_group_planar(self.r2, self.nsample2, pts, mode=self.neighbor_mode)
         # under remat (see FinePointMatching), keep the grouped neighborhoods
         # as residuals: re-running the selection + 8M-row gather in the
         # backward pass costs far more than storing (B, 3, P, S) fp32
