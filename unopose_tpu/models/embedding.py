@@ -106,6 +106,12 @@ class GeometricStructureEmbedding(nn.Module):
     angle_k: int = 3
     reduction_a: str = "max"
     table_size: int = 0
+    # static bound on the distance indices (max pairwise dist / sigma_d).
+    # UNOPose feeds LRF-normalized coords plus the (1,1,1) bg point, so
+    # 2*sqrt(3)/sigma_d bounds it exactly; the bound turns the geometric
+    # tail of the d-sinusoid into small-angle polynomials. None = no bound
+    # assumed (generic callers).
+    d_index_max: float | None = None
     dtype: jnp.dtype = jnp.float32
 
     def _make_table(self, proj: nn.Dense, x_max: jnp.ndarray) -> jnp.ndarray:
@@ -159,7 +165,7 @@ class GeometricStructureEmbedding(nn.Module):
             a_max = jnp.float32(np.pi * factor_a)
             a_table = self._make_table(proj_a, a_max)  # shared by all k
         else:
-            d_emb = sinusoidal_embedding(d_indices, self.hidden_dim)
+            d_emb = sinusoidal_embedding(d_indices, self.hidden_dim, poly_xmax=self.d_index_max)
             d_emb = proj_d(d_emb.astype(self.dtype))
 
         # fold the k axis into a running reduction: the (B, N, N, k, D)

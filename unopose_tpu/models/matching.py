@@ -226,12 +226,12 @@ class FinePositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, pts: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """One grouping serves both scales: scale 1 (r1 < r2) is the masked
-        subset of scale 2's neighborhood — a max-pooled MLP is insensitive
-        to the reference's pad-with-duplicates, and the self point
-        (distance 0) keeps every scale-1 mask non-empty whenever the point
-        itself made it into the scale-2 slots. Skips the second (N-wide
-        sort + 2M-row gather) query entirely."""
+        """Subset mode: each scale draws a fixed-permutation random
+        <= nsample subset of its ball (the CUDA reference's 'first k in
+        scan order' is itself an arbitrary subset); a max-pooled MLP is
+        insensitive to the reference's pad-with-duplicates. The self point
+        guarantees every grouping has a valid slot. first_k mode keeps the
+        exact reference semantics for converted checkpoints."""
         from jax.ad_checkpoint import checkpoint_name
 
         pts = pts.astype(jnp.float32)
@@ -251,12 +251,19 @@ class FinePositionalEncoding(nn.Module):
             feat = jnp.swapaxes(feat, 1, 2)
             return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
 
+        # two independent subset groupings at the reference's budgets
+        # (nsample1=64, nsample2=256): running scale 1 on its own slots
+        # instead of a masked view of scale 2's costs 37% less MLP work.
+        # Every point's own segment contains the point itself, so both
+        # groupings always have >= 1 valid slot.
         on_tpu_g = jax.default_backend() == "tpu"
+        N = pts.shape[1]
         use_pallas_group = (
             self.neighbor_mode == "subset"
             and (self.fused if self.fused is not None else on_tpu_g)
-            and pts.shape[1] % self.nsample2 == 0
-            and pts.shape[1] % 64 == 0
+            and N % self.nsample2 == 0
+            and N % self.nsample1 == 0
+            and N % 64 == 0
         )
         if use_pallas_group:
             # fused grouping kernel: distance row, first-hit reduce and
@@ -265,22 +272,20 @@ class FinePositionalEncoding(nn.Module):
             # (B, N, N) mask and pays three banked gathers
             from unopose_tpu.ops.ball_query import ball_group_subset_pallas
 
+            g1, d1_sel, valid1 = ball_group_subset_pallas(
+                self.r1, self.nsample1, pts, interpret=not on_tpu_g
+            )
             g2, d2_sel, valid2 = ball_group_subset_pallas(
                 self.r2, self.nsample2, pts, interpret=not on_tpu_g
             )
         else:
+            g1, d1_sel, valid1 = ball_group_planar(self.r1, self.nsample1, pts, mode=self.neighbor_mode)
             g2, d2_sel, valid2 = ball_group_planar(self.r2, self.nsample2, pts, mode=self.neighbor_mode)
         # under remat (see FinePointMatching), keep the grouped neighborhoods
         # as residuals: re-running the selection + 8M-row gather in the
         # backward pass costs far more than storing (B, 3, P, S) fp32
+        g1 = tuple(checkpoint_name(g, "pe_grouped") for g in g1)
         g2 = tuple(checkpoint_name(g, "pe_grouped") for g in g2)
-        d2v = jnp.where(valid2, d2_sel, jnp.inf)
-        mask1 = d2v < self.r1 * self.r1
-        # guard: a row with no scale-2 slot within r1 falls back to its
-        # nearest valid slot (the self point guarantees valid2 is non-empty)
-        empty = ~jnp.any(mask1, axis=-1, keepdims=True)
-        nearest = jnp.argmin(d2v, axis=-1)[..., None] == jnp.arange(self.nsample2)
-        mask1 = mask1 | (empty & nearest)
 
         on_tpu = jax.default_backend() == "tpu"
         use_fused = (
@@ -310,13 +315,13 @@ class FinePositionalEncoding(nn.Module):
                     cin = d
                 folded[name] = (Ws, bs)
             feat = pe_fused(
-                g2, center, mask1, valid2,
+                g1, valid1, g2, valid2, center,
                 *folded["mlp1"], *folded["mlp2"],
                 self.r1, self.r2,
                 interpret=not on_tpu,
             )  # (B, P, 256) points-major
         else:
-            f1 = self._scale(center, g2, self.r1, (32, 64, 128), train, "mlp1", mask=mask1)
+            f1 = self._scale(center, g1, self.r1, (32, 64, 128), train, "mlp1", mask=valid1)
             f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2", mask=valid2)
             feat = jnp.swapaxes(jnp.concatenate([f1, f2], axis=1), 1, 2)  # (B, P, 256)
         return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)

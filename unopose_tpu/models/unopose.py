@@ -81,12 +81,17 @@ class UNOPose(nn.Module):
             dtype=self.backbone_dtype,
         )
         ge = self.geo_embedding or CN()
+        import numpy as _np
+
         self.geo_embed = GeometricStructureEmbedding(
             hidden_dim=ge.get("hidden_dim", 256),
             sigma_d=ge.get("sigma_d", 0.2),
             sigma_a=ge.get("sigma_a", 15),
             angle_k=ge.get("angle_k", 3),
             reduction_a=ge.get("reduction_a", "max"),
+            # inputs are LRF-normalized coords + the (1,1,1) bg point:
+            # pairwise distance <= 2*sqrt(3) (5% slack for fp rounding)
+            d_index_max=float(2.1 * _np.sqrt(3.0) / ge.get("sigma_d", 0.2)),
             dtype=self.dtype,
         )
         cm = self.coarse_point_matching or CN()

@@ -283,9 +283,12 @@ def ball_group_subset_pallas(radius: float, nsample: int, pts, p_blk: int = 64, 
     G = N // S
     perm = jnp.asarray(np.random.default_rng(20240613).permutation(N).astype(np.int32))
     pts_p = jnp.take(pts, perm, axis=1)  # (B, N, 3) permuted order
-    xp = pts_p[..., 0][:, None, :]  # (B, 1, N)
-    yp = pts_p[..., 1][:, None, :]
-    zp = pts_p[..., 2][:, None, :]
+    # candidate-major layout (B, G, S): slot s draws candidates g = 0..G-1
+    # from permuted column g*S + s. Pre-split outside the kernel — Mosaic
+    # cannot shape-cast a (P, N) vector into (P, G, S) when S < 128.
+    xp = pts_p[..., 0].reshape(B, G, S)
+    yp = pts_p[..., 1].reshape(B, G, S)
+    zp = pts_p[..., 2].reshape(B, G, S)
     cx = pts[..., 0][..., None]  # (B, P, 1)
     cy = pts[..., 1][..., None]
     cz = pts[..., 2][..., None]
@@ -294,40 +297,39 @@ def ball_group_subset_pallas(radius: float, nsample: int, pts, p_blk: int = 64, 
         x = cx_ref[0]  # (p_blk, 1)
         y = cy_ref[0]
         z = cz_ref[0]
-        dx = x - xp_ref[0]  # (p_blk, N)
-        dy = y - yp_ref[0]
-        dz = z - zp_ref[0]
-        d2 = dx * dx + dy * dy + dz * dz
-        d2r = d2.reshape(p_blk, G, S)  # reshape the f32 values: Mosaic has
-        # no shape-cast for i1 vectors
-        hit_r = d2r < radius * radius
-        giota = jax.lax.broadcasted_iota(jnp.int32, (p_blk, G, S), 1)
-        g_min = jnp.min(jnp.where(hit_r, giota, G), axis=1)  # (p_blk, S)
-        valid = g_min < G
-        g_sel = jnp.minimum(g_min, G - 1)
-
-        xr = xp_ref[0].reshape(G, S)
-        yr = yp_ref[0].reshape(G, S)
-        zr = zp_ref[0].reshape(G, S)
+        r2 = radius * radius
+        # first-hit scan over the G candidates per slot, selection fused in:
+        # all (p_blk, S) planes, no reshapes, G is small (N/nsample)
+        found = jnp.zeros((p_blk, S), jnp.float32)
         gx = jnp.zeros((p_blk, S), jnp.float32)
         gy = jnp.zeros((p_blk, S), jnp.float32)
         gz = jnp.zeros((p_blk, S), jnp.float32)
         ds = jnp.zeros((p_blk, S), jnp.float32)
-        for g in range(G):  # G is small (N/nsample, typically 8): unrolled
-            sel = (g_sel == g).astype(jnp.float32)
-            gx = gx + sel * xr[g][None, :]
-            gy = gy + sel * yr[g][None, :]
-            gz = gz + sel * zr[g][None, :]
-            ds = ds + sel * d2r[:, g, :]
-        gx_ref[0] = gx
-        gy_ref[0] = gy
-        gz_ref[0] = gz
+        for g in range(G):
+            xg = xp_ref[0, g : g + 1, :]  # (1, S)
+            yg = yp_ref[0, g : g + 1, :]
+            zg = zp_ref[0, g : g + 1, :]
+            dx = x - xg
+            dy = y - yg
+            dz = z - zg
+            d2 = dx * dx + dy * dy + dz * dz
+            take = jnp.logical_and(d2 < r2, found == 0.0).astype(jnp.float32)
+            gx = gx + take * xg
+            gy = gy + take * yg
+            gz = gz + take * zg
+            ds = ds + take * d2
+            found = jnp.maximum(found, take)
+        # slots with no hit keep candidate 0 coords (consumers mask by valid)
+        miss = 1.0 - found
+        gx_ref[0] = gx + miss * xp_ref[0, 0:1, :]
+        gy_ref[0] = gy + miss * yp_ref[0, 0:1, :]
+        gz_ref[0] = gz + miss * zp_ref[0, 0:1, :]
         d2_ref[0] = ds
-        v_ref[0] = valid.astype(jnp.float32)
+        v_ref[0] = found
 
     grid = (B, N // p_blk)
     cspec = pl.BlockSpec((1, p_blk, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((1, 1, N), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, G, S), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, p_blk, S), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,

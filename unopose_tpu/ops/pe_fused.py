@@ -100,34 +100,36 @@ def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int):
 
 
 def _pe_kernel(
-    gx_ref, gy_ref, gz_ref, cx_ref, cy_ref, cz_ref, m1_ref, m2_ref,
+    g1x_ref, g1y_ref, g1z_ref, m1_ref, g2x_ref, g2y_ref, g2z_ref, m2_ref,
+    cx_ref, cy_ref, cz_ref,
     w10_ref, w11_ref, w12_ref, b10_ref, b11_ref, b12_ref,
     w20_ref, w21_ref, w22_ref, b20_ref, b21_ref, b22_ref,
-    out_ref, *, r1: float, r2: float, p_blk: int, s: int,
+    out_ref, *, r1: float, r2: float, p_blk: int, s1: int, s2: int,
 ):
-    gx = gx_ref[0]
-    gy = gy_ref[0]
-    gz = gz_ref[0]
-    rx = gx - cx_ref[0]  # centers come in as (p_blk, 1) columns
-    ry = gy - cy_ref[0]
-    rz = gz - cz_ref[0]
-    m1 = m1_ref[0]
-    m2 = m2_ref[0]
-
-    f1 = _scale_block(rx, ry, rz, m1, r1, (w10_ref[...], w11_ref[...], w12_ref[...]),
-                      (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s)
-    f2 = _scale_block(rx, ry, rz, m2, r2, (w20_ref[...], w21_ref[...], w22_ref[...]),
-                      (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s)
+    cx = cx_ref[0]  # centers come in as (p_blk, 1) columns
+    cy = cy_ref[0]
+    cz = cz_ref[0]
+    f1 = _scale_block(
+        g1x_ref[0] - cx, g1y_ref[0] - cy, g1z_ref[0] - cz, m1_ref[0], r1,
+        (w10_ref[...], w11_ref[...], w12_ref[...]),
+        (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s1,
+    )
+    f2 = _scale_block(
+        g2x_ref[0] - cx, g2y_ref[0] - cy, g2z_ref[0] - cz, m2_ref[0], r2,
+        (w20_ref[...], w21_ref[...], w22_ref[...]),
+        (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s2,
+    )
     # (256, p_blk) -> (p_blk, 256): Mosaic requires the minor block dim to
     # be 128-divisible, so the output lives points-major
     out_ref[0] = jnp.concatenate([f1, f2], axis=0).T
 
 
 def pe_fused(
-    grouped,  # (gx, gy, gz) each (B, P, S) absolute neighbor coords
+    grouped1,  # (g1x, g1y, g1z) each (B, P, S1): scale-1 neighborhoods
+    mask1,  # (B, P, S1) bool
+    grouped2,  # (g2x, g2y, g2z) each (B, P, S2): scale-2 neighborhoods
+    mask2,  # (B, P, S2) bool
     center,  # (cx, cy, cz) each (B, P)
-    mask1,  # (B, P, S) bool — scale-1 slots
-    mask2,  # (B, P, S) bool — valid scale-2 slots
     w1: Sequence[jnp.ndarray],  # three (cin, d) folded kernels, scale 1
     b1: Sequence[jnp.ndarray],  # three (d,) folded biases
     w2: Sequence[jnp.ndarray],
@@ -137,33 +139,53 @@ def pe_fused(
     p_blk: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused two-scale PE. Returns (B, P, 256) float32 (pre-mlp3 features)."""
-    gx, gy, gz = (g.astype(jnp.float32) for g in grouped)
+    """Fused two-scale PE. Returns (B, P, 256) float32 (pre-mlp3 features).
+
+    Each scale has its OWN neighborhood (the reference's nsample1=64 /
+    nsample2=256 budgets): running scale 1 on its 64 slots instead of a
+    masked view of scale 2's 256 costs 37% less MLP work."""
+    g1 = tuple(g.astype(jnp.float32) for g in grouped1)
+    g2 = tuple(g.astype(jnp.float32) for g in grouped2)
+    # Mosaic cannot merge a sub-128 minor dim (the in-kernel
+    # (6, p_blk, S) -> (6, p_blk*S) flatten), so pad the sample dim to a
+    # 128 multiple with masked-out slots — all math ignores them
+    def pad_s(planes, mask):
+        S = planes[0].shape[-1]
+        Sp = ((S + 127) // 128) * 128
+        if S == Sp:
+            return planes, mask
+        pad = [(0, 0), (0, 0), (0, Sp - S)]
+        return tuple(jnp.pad(g, pad) for g in planes), jnp.pad(mask, pad)
+
+    g1, mask1 = pad_s(g1, mask1)
+    g2, mask2 = pad_s(g2, mask2)
     # centers as (B, P, 1) columns: a (1, p_blk) block of a (B, P) array
     # violates Mosaic's 128-divisible-minor-dim rule
     cx, cy, cz = (c.astype(jnp.float32)[..., None] for c in center)
-    B, P, S = gx.shape
+    B, P, S1 = g1[0].shape
+    S2 = g2[0].shape[-1]
     assert P % p_blk == 0, (P, p_blk)
     m1 = mask1.astype(jnp.float32)
     m2 = mask2.astype(jnp.float32)
 
     grid = (B, P // p_blk)
-    blk3 = pl.BlockSpec((1, p_blk, S), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    blk_s1 = pl.BlockSpec((1, p_blk, S1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    blk_s2 = pl.BlockSpec((1, p_blk, S2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
     blk2 = pl.BlockSpec((1, p_blk, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
     # biases as (d, 1) columns: 1-D VMEM arrays are fragile under Mosaic
     weights = [*w1, *[b.reshape(-1, 1) for b in b1], *w2, *[b.reshape(-1, 1) for b in b2]]
     weights = [w.astype(jnp.float32) for w in weights]
-    kernel = functools.partial(_pe_kernel, r1=float(r1), r2=float(r2), p_blk=p_blk, s=S)
+    kernel = functools.partial(_pe_kernel, r1=float(r1), r2=float(r2), p_blk=p_blk, s1=S1, s2=S2)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk3] * 3 + [blk2] * 3 + [blk3] * 2 + [full(w) for w in weights],
+        in_specs=[blk_s1] * 3 + [blk_s1] + [blk_s2] * 3 + [blk_s2] + [blk2] * 3 + [full(w) for w in weights],
         out_specs=pl.BlockSpec((1, p_blk, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
         interpret=interpret,
-    )(gx, gy, gz, cx, cy, cz, m1, m2, *weights)
+    )(*g1, m1, *g2, m2, cx, cy, cz, *weights)
     return out
 
 
