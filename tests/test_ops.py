@@ -391,3 +391,31 @@ def test_ball_group_planar_first_k_matches_oracle(rng):
     got = np.stack([np.asarray(c) for c in planes], -1)
     for b in range(B):
         np.testing.assert_allclose(got[b][np.asarray(valid)[b]], xyz[b][idx[b]][np.asarray(valid)[b]], atol=1e-6)
+
+
+def test_ball_group_subset_pallas_matches_xla(rng):
+    """The Pallas subset-grouping kernel (interpret mode on CPU) selects
+    exactly the same neighbors, distances and validity as the XLA subset
+    path, across sample sizes including sub-128 ones."""
+    from unopose_tpu.ops.ball_query import ball_group_planar, ball_group_subset_pallas
+
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(2, 128, 3)).astype(np.float32))
+    for S in (16, 32):
+        a_planes, a_d2, a_valid = ball_group_planar(0.7, S, pts, mode="subset")
+        b_planes, b_d2, b_valid = ball_group_subset_pallas(0.7, S, pts, p_blk=32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a_valid), np.asarray(b_valid))
+        av = np.asarray(a_valid)
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(a_planes[i]) * av, np.asarray(b_planes[i]) * av, atol=1e-6
+            )
+        np.testing.assert_allclose(np.asarray(a_d2) * av, np.asarray(b_d2) * av, atol=1e-5)
+        # every valid slot holds a real in-radius cloud point
+        sel = np.stack([np.asarray(p) for p in b_planes], -1)
+        ctr = np.asarray(pts)
+        for b in range(2):
+            for p in range(128):
+                picks = sel[b, p][av[b, p]]
+                if len(picks):
+                    d = np.linalg.norm(picks - ctr[b, p], axis=-1)
+                    assert (d < 0.7).all()
