@@ -352,3 +352,292 @@ def test_merge_csv_shards(tmp_path):
     (tmp_path / "result.csv.rank2").write_text("d\n")
     merge_csv_shards(str(p), 3)
     assert p.read_text() == "a\nb\nc\nd\n"
+
+
+# ---------------------------------------------------------------------------
+# Oracle equality: evaluate_bop vs the vendored reference bop_toolkit run
+# in-process on the same fixture (VERDICT round-1 item 2). Exercises the
+# n_top=-1 estimate truncation and the visib_gt_min=-1 k-most-visible GT
+# validity rule with duplicate/multi detections per object.
+# ---------------------------------------------------------------------------
+
+BOP_TOOLKIT = "/root/reference/third_party/bop_toolkit"
+
+
+def _import_bop_toolkit():
+    import sys
+    import types
+
+    if not osp.isdir(BOP_TOOLKIT):
+        pytest.skip("vendored bop_toolkit not available")
+    if BOP_TOOLKIT not in sys.path:
+        sys.path.insert(0, BOP_TOOLKIT)
+    sys.modules.setdefault(
+        "pytz", types.SimpleNamespace(timezone=lambda *a, **k: None, utc=None)
+    )
+    from bop_toolkit_lib import pose_error, pose_matching, score  # noqa: E501
+
+    return pose_error, pose_matching, score
+
+
+def _write_ascii_ply(path, pts, faces):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts)}\nproperty float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\nproperty list uchar int vertex_indices\nend_header\n")
+        for v in pts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for fc in faces:
+            f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")
+
+
+@pytest.fixture
+def multi_det_bop(tmp_path):
+    """Two-object scene with multiple GT instances, mixed visibilities and
+    MORE detections than inst_count — the cases where n_top truncation and
+    k-most-visible validity change the score."""
+    import imageio.v2 as imageio
+
+    from unopose_tpu.eval.renderer import MeshRasterRenderer
+
+    root = tmp_path / "bop" / "minimulti"
+    models = root / "models_eval"
+    os.makedirs(models)
+    meshes = {1: cube_mesh(60.0), 2: cube_mesh(40.0)}
+    info = {}
+    rend = MeshRasterRenderer(480, 640)
+    for oid, (pts, faces) in meshes.items():
+        _write_ascii_ply(models / f"obj_{oid:06d}.ply", pts, faces)
+        diam = float(np.linalg.norm(pts[0] - pts[6]))
+        info[str(oid)] = {"diameter": diam}
+        rend.add_object(oid, pts.astype(np.float32), faces, diam)
+    json.dump(info, open(models / "models_info.json", "w"))
+
+    scene = root / "test" / "000001"
+    os.makedirs(scene / "depth")
+    Rz = np.diag([-1.0, -1.0, 1.0])
+
+    # image 1: obj1 x2 (visib 0.6 / 0.9, inst_count=1), obj2 x1
+    # image 2: obj1 x2 (visib 0.9 / 0.05, inst_count=2)
+    gt = {
+        "1": [
+            dict(obj_id=1, cam_R_m2c=np.eye(3), cam_t_m2c=np.array([0, 0, 700.0])),
+            dict(obj_id=1, cam_R_m2c=Rz, cam_t_m2c=np.array([120, 0, 700.0])),
+            dict(obj_id=2, cam_R_m2c=np.eye(3), cam_t_m2c=np.array([0, 80, 800.0])),
+        ],
+        "2": [
+            dict(obj_id=1, cam_R_m2c=np.eye(3), cam_t_m2c=np.array([0, 0, 750.0])),
+            dict(obj_id=1, cam_R_m2c=Rz, cam_t_m2c=np.array([-120, 0, 750.0])),
+        ],
+    }
+    visib = {"1": [0.6, 0.9, 1.0], "2": [0.9, 0.05]}
+    targets = [
+        dict(scene_id=1, im_id=1, obj_id=1, inst_count=1),
+        dict(scene_id=1, im_id=1, obj_id=2, inst_count=1),
+        dict(scene_id=1, im_id=2, obj_id=1, inst_count=2),
+    ]
+    gts_json, infos_json, cams_json = {}, {}, {}
+    for im_id, im_gts in gt.items():
+        depth = np.zeros((480, 640), np.float64)
+        for g in im_gts:
+            d = rend.render_depth(g["obj_id"], g["cam_R_m2c"], g["cam_t_m2c"], K)
+            m = d > 0
+            depth[m] = np.where(depth[m] > 0, np.minimum(depth[m], d[m]), d[m])
+        imageio.imwrite(scene / "depth" / f"{int(im_id):06d}.png", np.round(depth).astype(np.uint16))
+        gts_json[im_id] = [
+            dict(obj_id=g["obj_id"], cam_R_m2c=g["cam_R_m2c"].reshape(-1).tolist(), cam_t_m2c=g["cam_t_m2c"].tolist())
+            for g in im_gts
+        ]
+        infos_json[im_id] = [dict(visib_fract=v) for v in visib[im_id]]
+        cams_json[im_id] = dict(cam_K=K.reshape(-1).tolist(), depth_scale=1.0)
+    json.dump(gts_json, open(scene / "scene_gt.json", "w"))
+    json.dump(infos_json, open(scene / "scene_gt_info.json", "w"))
+    json.dump(cams_json, open(scene / "scene_camera.json", "w"))
+    json.dump(targets, open(root / "test_targets_bop19.json", "w"))
+
+    # estimates: im1/obj1 has 2 dets -> truncated to top-1 by score; the
+    # high-score one sits on the INVALID (less visible) GT. im1/obj2 exact.
+    # im2/obj1 two exact dets incl. one on the visib-0.05 GT (valid under
+    # the k-most-visible rule, invalid under a visib>0.1 rule).
+    rows = [
+        (1, 1, 1, 0.9, np.eye(3), [0, 0, 700.0]),     # on invalid GT
+        (1, 1, 1, 0.2, Rz, [120, 0, 700.0]),          # perfect, truncated away
+        (1, 1, 2, 0.8, np.eye(3), [0, 80, 800.0]),
+        (1, 2, 1, 0.95, np.eye(3), [0, 0, 750.0]),
+        (1, 2, 1, 0.5, Rz, [-120, 0, 750.0]),
+    ]
+    csv = tmp_path / "multi.csv"
+    _write_csv(csv, rows)
+    return root, str(csv), rend, gt, visib, targets
+
+
+def _oracle_eval(root, csv, rend, error_types=("vsd", "mssd", "mspd")):
+    """Replicates the reference pipeline in-process using the vendored
+    bop_toolkit's own pose_error/pose_matching/score modules with the
+    reference defaults (n_top=-1, visib_gt_min=-1):
+      eval_calc_errors.py:216-268 (truncation + error calc),
+      eval_calc_scores.py:186-243 (validity + matching + scores),
+      eval_pose_results_more.py:43-77 + bop_eval_utils.py:269-276
+      (thresholds, per-object mean over thresholds, inst-weighted avg)."""
+    pose_error, pose_matching, score = _import_bop_toolkit()
+    from unopose_tpu.data.preprocess import load_im, load_json
+    from unopose_tpu.eval.bop_eval import load_estimates_csv
+    from unopose_tpu.eval.ply import load_ply
+
+    class _ShimRenderer:  # vendored Renderer interface over our rasterizer
+        def render_object(self, obj_id, R, t, fx, fy, cx, cy):
+            Km = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+            return {"depth": rend.render_depth(obj_id, R, np.asarray(t).reshape(3), Km)}
+
+    models_info = {int(k): v for k, v in load_json(osp.join(root, "models_eval", "models_info.json")).items()}
+    models = {
+        oid: load_ply(osp.join(root, "models_eval", f"obj_{oid:06d}.ply"))["pts"] for oid in models_info
+    }
+    syms = {oid: [{"R": np.eye(3), "t": np.zeros((3, 1))}] for oid in models_info}
+    targets = load_json(osp.join(root, "test_targets_bop19.json"))
+    targets_org = {}
+    for t in targets:
+        targets_org.setdefault(t["scene_id"], {}).setdefault(t["im_id"], {})[t["obj_id"]] = t
+
+    ests = load_estimates_csv(csv)
+    ests_org = {}
+    for e in ests:
+        ests_org.setdefault(e["scene_id"], {}).setdefault(e["im_id"], {}).setdefault(e["obj_id"], []).append(e)
+
+    VSD_TAUS = list(np.arange(0.05, 0.51, 0.05))
+    ths = {
+        "vsd": [[th] for th in np.arange(0.05, 0.51, 0.05)],
+        "mssd": [[th] for th in np.arange(0.05, 0.51, 0.05)],
+        "mspd": [[th] for th in np.arange(5, 51, 5)],
+    }
+    obj_nums = {}
+    for t in targets:
+        obj_nums[t["obj_id"]] = obj_nums.get(t["obj_id"], 0) + t["inst_count"]
+
+    out = {}
+    for et in error_types:
+        # --- eval_calc_errors: top-inst_count truncation, errors vs all GTs
+        scene_errs = {}  # scene -> list; vsd stores per-tau lists
+        scene_gts, scene_valids = {}, {}
+        for scene_id, scene_targets in targets_org.items():
+            scene_dir = osp.join(root, "test", f"{scene_id:06d}")
+            scene_gt = load_json(osp.join(scene_dir, "scene_gt.json"))
+            scene_info = load_json(osp.join(scene_dir, "scene_gt_info.json"))
+            scene_cam = load_json(osp.join(scene_dir, "scene_camera.json"))
+            errs_list = []
+            gt_curr, valid_curr = {}, {}
+            for im_id, im_targets in scene_targets.items():
+                im_gt = scene_gt[str(im_id)]
+                im_info = scene_info[str(im_id)]
+                Km = np.asarray(scene_cam[str(im_id)]["cam_K"], np.float64).reshape(3, 3)
+                depth_im = None
+                if et == "vsd":
+                    depth_im = load_im(osp.join(scene_dir, "depth", f"{im_id:06d}.png")).astype(np.float64)
+                    depth_im *= scene_cam[str(im_id)].get("depth_scale", 1.0)
+                gt_curr[im_id] = im_gt
+                # eval_calc_scores.py:202-214 joint k-most-visible validity
+                valid = [False] * len(im_gt)
+                order = sorted(range(len(im_gt)), key=lambda g: im_info[g]["visib_fract"], reverse=True)
+                to_add = {oid: trg["inst_count"] for oid, trg in im_targets.items()}
+                for g in order:
+                    oid = im_gt[g]["obj_id"]
+                    if to_add.get(oid, 0) > 0:
+                        valid[g] = True
+                        to_add[oid] -= 1
+                valid_curr[im_id] = valid
+                for obj_id, target in im_targets.items():
+                    n_top_curr = target["inst_count"]
+                    obj_ests = ests_org.get(scene_id, {}).get(im_id, {}).get(obj_id, [])
+                    obj_sorted = sorted(enumerate(obj_ests), key=lambda x: x[1]["score"], reverse=True)
+                    obj_sorted = obj_sorted[slice(0, n_top_curr)]
+                    for est_id, e in obj_sorted:
+                        errors = {}
+                        for g, gt_row in enumerate(im_gt):
+                            if gt_row["obj_id"] != obj_id:
+                                continue
+                            R_g = np.asarray(gt_row["cam_R_m2c"], np.float64).reshape(3, 3)
+                            t_g = np.asarray(gt_row["cam_t_m2c"], np.float64).reshape(3, 1)
+                            t_e = e["t"].reshape(3, 1)
+                            if et == "mssd":
+                                errors[g] = [
+                                    pose_error.mssd(e["R"], t_e, R_g, t_g, models[obj_id], syms[obj_id])
+                                    / models_info[obj_id]["diameter"]
+                                ]
+                            elif et == "mspd":
+                                errors[g] = [pose_error.mspd(e["R"], t_e, R_g, t_g, Km, models[obj_id], syms[obj_id])]
+                            else:
+                                errors[g] = pose_error.vsd(
+                                    e["R"], t_e, R_g, t_g, depth_im, Km, 15.0, VSD_TAUS,
+                                    True, models_info[obj_id]["diameter"], _ShimRenderer(), obj_id,
+                                )
+                        errs_list.append(
+                            dict(im_id=im_id, obj_id=obj_id, est_id=est_id, score=e["score"], errors=errors)
+                        )
+            scene_errs[scene_id] = errs_list
+            scene_gts[scene_id] = gt_curr
+            scene_valids[scene_id] = valid_curr
+
+        # --- eval_calc_scores + summary: per (tau,) threshold matching
+        scene_ids = sorted(targets_org.keys())
+        obj_ids = sorted(models_info.keys())
+        tau_indices = range(len(VSD_TAUS)) if et == "vsd" else [None]
+        obj_recalls_acc = {o: [] for o in obj_ids}
+        for ti in tau_indices:
+            for th in ths[et]:
+                matches = []
+                for scene_id in scene_ids:
+                    errs_for_match = scene_errs[scene_id]
+                    if ti is not None:  # select the tau column
+                        errs_for_match = [
+                            dict(x, errors={g: [v[ti]] for g, v in x["errors"].items()}) for x in errs_for_match
+                        ]
+                    matches += pose_matching.match_poses_scene(
+                        scene_id, scene_gts[scene_id], scene_valids[scene_id], errs_for_match, th, -1
+                    )
+                scores = score.calc_localization_scores(scene_ids, obj_ids, matches, -1, do_print=False)
+                for o, r in scores["obj_recalls"].items():
+                    obj_recalls_acc[int(o)].append(r)
+        per_object = {o: float(np.mean(v)) for o, v in obj_recalls_acc.items() if o in obj_nums}
+        w = np.array([obj_nums[o] for o in sorted(per_object)])
+        r = np.array([per_object[o] for o in sorted(per_object)])
+        out[et] = {"per_object": per_object, "average": float((w * r).sum() / w.sum())}
+    out["AR"] = float(np.mean([out[et]["average"] for et in error_types]))
+    return out
+
+
+def test_evaluate_bop_matches_vendored_oracle(multi_det_bop):
+    """Identical AR (and per-object recalls) to the reference toolkit on a
+    fixture with duplicate detections and sub-visibility GTs."""
+    from unopose_tpu.eval.bop_eval import evaluate_bop
+
+    root, csv, rend, gt, visib, targets = multi_det_bop
+    ours = evaluate_bop(csv, str(root))
+    oracle = _oracle_eval(str(root), csv, rend)
+    for et in ("vsd", "mssd", "mspd"):
+        assert ours[et]["average"] == pytest.approx(oracle[et]["average"], abs=1e-9), et
+        for o, r in oracle[et]["per_object"].items():
+            assert ours[et]["per_object"][o] == pytest.approx(r, abs=1e-9), (et, o)
+    assert ours["AR"] == pytest.approx(oracle["AR"], abs=1e-9)
+
+    # the cases this fixture pins down:
+    # im1/obj1: truncation keeps only the high-score det, which sits on the
+    # invalid GT -> 0 matches; im2/obj1: both GTs valid (k-most-visible, one
+    # has visib 0.05) and both dets exact -> 2/2. obj1 recall = 2/3.
+    assert ours["mssd"]["per_object"][1] == pytest.approx(2.0 / 3.0)
+    assert ours["mssd"]["per_object"][2] == pytest.approx(1.0)
+    # overall weighted by target inst counts: obj1 w=3, obj2 w=1
+    assert ours["mssd"]["average"] == pytest.approx((3 * 2 / 3 + 1 * 1) / 4)
+
+
+def test_rasterizer_skips_out_of_range_faces():
+    """Corrupt face indices must be skipped, not read out of bounds
+    (ADVICE round-1: hostops.cpp rasterize_depth)."""
+    from unopose_tpu.eval.renderer import MeshRasterRenderer
+
+    pts, faces = cube_mesh()
+    bad = np.concatenate([faces, [[0, 1, 10**6], [-5, 1, 2], [7, 7**5, 0]]]).astype(np.int32)
+    rend = MeshRasterRenderer(480, 640)
+    rend.add_object(1, pts.astype(np.float32), bad, 100.0)
+    d_bad = rend.render_depth(1, np.eye(3), np.array([0, 0, 700.0]), K)
+    d_ref = rasterize_exact(pts, faces, np.eye(3), np.array([0, 0, 700.0]), K, 480, 640)
+    assert np.allclose(d_bad, d_ref, atol=0.02)

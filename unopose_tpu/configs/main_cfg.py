@@ -51,6 +51,9 @@ def get_cfg() -> CN:
             oneref_type="v1",
             instance_batch_size=16,
             vis=False,
+            # cache per-reference template features (dense_po/dense_fo/LRF)
+            # across chunks/images — the cross-scene rot50 map reuses refs
+            template_cache=True,
         ),
         optimizer=dict(
             type="adam",

@@ -117,6 +117,10 @@ class BOPTestsetPoseFreeOneRef:
             osp.join(self.data_dir, eval_dataset_name, cfg.get("ref_targets_name", "test_ref_targets.json"))
         )
 
+        self._ref_cache: Dict[tuple, Optional[tuple]] = {}
+        self._json_cache: Dict[str, dict] = {}
+        self._depth_cache: Dict[tuple, np.ndarray] = {}
+
         dets = load_json(detection_path)
         self.det_keys: List[str] = []
         self.dets: Dict[str, list] = {}
@@ -162,13 +166,31 @@ class BOPTestsetPoseFreeOneRef:
         out["seg_time"] = np.asarray([dets[0].get("time", 0.0)], np.float32)
         return out
 
+    def _load_json_cached(self, path: str) -> dict:
+        """Per-dataset cache of scene_camera/scene_gt jsons — the reference
+        re-parses these per instance (pfoneref_bop_test_dataset_v2.py:150,
+        232-235); on ~5 dets/image x 900 images that is pure waste."""
+        if path not in self._json_cache:
+            if len(self._json_cache) > 64:
+                self._json_cache.clear()
+            self._json_cache[path] = load_json(path)
+        return self._json_cache[path]
+
+    def _depth_cached(self, data_folder: str, scene_id: int, img_id: int) -> np.ndarray:
+        key = (data_folder, scene_id, img_id)
+        if key not in self._depth_cache:
+            if len(self._depth_cache) > 4:
+                self._depth_cache.clear()
+            self._depth_cache[key] = get_bop_depth(data_folder, scene_id, img_id)
+        return self._depth_cache[key]
+
     def get_instance(self, det) -> Optional[Dict[str, np.ndarray]]:
         scene_id, img_id, obj_id = det["scene_id"], det["image_id"], det["category_id"]
         scene_folder = osp.join(self.data_folder, f"{scene_id:06d}")
-        scene_camera = load_json(osp.join(scene_folder, "scene_camera.json"))
+        scene_camera = self._load_json_cached(osp.join(scene_folder, "scene_camera.json"))
         K = np.asarray(scene_camera[str(img_id)]["cam_K"], np.float64).reshape(3, 3)
         depth_scale = scene_camera[str(img_id)]["depth_scale"]
-        depth = get_bop_depth(self.data_folder, scene_id, img_id) * depth_scale
+        depth = self._depth_cached(self.data_folder, scene_id, img_id) * depth_scale
 
         mask = decode_segmentation(det["segmentation"])
         mask = np.logical_and(mask, depth > 0)
@@ -185,7 +207,7 @@ class BOPTestsetPoseFreeOneRef:
         ref = self._get_ref_instance(scene_id, img_id, obj_id)
         if ref is None:
             return None
-        tem_rgb, tem_choose, tem_pts, pose_camref_obj = ref
+        tem_rgb, tem_choose, tem_pts, pose_camref_obj, ref_uid = ref
 
         radius = np.linalg.norm(tem_pts - tem_pts.mean(0, keepdims=True), axis=1).max()
         flag = np.linalg.norm(cloud - center[None], axis=1) < 1.2 * radius
@@ -215,6 +237,9 @@ class BOPTestsetPoseFreeOneRef:
             tem1_choose=tem_choose.astype(np.int32),
             tem1_pts=tem_pts.astype(np.float32),
             tem1_pose=pose_camref_obj,
+            # identity of the reference this instance uses — the engine's
+            # TemplateCache key (refs repeat heavily in the cross-scene map)
+            ref_key=np.asarray(ref_uid, np.int64),
         )
 
     def _get_ref_instance(self, scene_id, img_id, obj_id):
@@ -223,6 +248,19 @@ class BOPTestsetPoseFreeOneRef:
             return None
         ref_scene_id, ref_im_id = (int(v) for v in self.test_ref_target[key].split("_"))
 
+        # one fetch per unique reference: the cross-scene rot50 map points
+        # many query images at the same (ref_scene, ref_im, obj); re-reading
+        # depth/mask + resampling 5000 points per query instance is wasted IO
+        # (and would defeat the engine's template-feature cache)
+        cache_key = (ref_scene_id, ref_im_id, obj_id)
+        if cache_key not in self._ref_cache:
+            if len(self._ref_cache) > 512:
+                self._ref_cache.clear()
+            self._ref_cache[cache_key] = self._fetch_ref_instance(ref_scene_id, ref_im_id, obj_id)
+        return self._ref_cache[cache_key]
+
+    def _fetch_ref_instance(self, ref_scene_id, ref_im_id, obj_id):
+
         data_folder = self.data_folder
         if self.dataset == "ycbv" and ref_scene_id not in range(48, 60):
             data_folder = osp.join(self.data_dir, self.dataset, "train_real")
@@ -230,9 +268,9 @@ class BOPTestsetPoseFreeOneRef:
             data_folder = osp.join(self.data_dir, self.dataset, "train_real")
 
         scene_folder = osp.join(data_folder, f"{ref_scene_id:06d}")
-        scene_camera = load_json(osp.join(scene_folder, "scene_camera.json"))
+        scene_camera = self._load_json_cached(osp.join(scene_folder, "scene_camera.json"))
         K = np.asarray(scene_camera[str(ref_im_id)]["cam_K"], np.float64).reshape(3, 3)
-        scene_gt = load_json(osp.join(scene_folder, "scene_gt.json"))
+        scene_gt = self._load_json_cached(osp.join(scene_folder, "scene_gt.json"))
 
         pose_camref_obj = None
         for i, info in enumerate(scene_gt[str(ref_im_id)]):
@@ -270,4 +308,10 @@ class BOPTestsetPoseFreeOneRef:
         choose = choose[sel]
         ref_xyz = ref_xyz.reshape(-1, 3)[choose]
         rgb_choose = get_resize_rgb_choose(choose, bbox, self.img_size)
-        return normalize_rgb(ref_rgb), rgb_choose, ref_xyz.astype(np.float32), pose_camref_obj
+        return (
+            normalize_rgb(ref_rgb),
+            rgb_choose,
+            ref_xyz.astype(np.float32),
+            pose_camref_obj,
+            (ref_scene_id, ref_im_id, obj_id),
+        )

@@ -67,6 +67,46 @@ def prefetch_items(dataset, indices=None, depth: int = 2):
         yield item
 
 
+class TemplateCache:
+    """Host-side LRU of per-reference onboarding outputs keyed by the
+    instance's ``ref_key`` (ref_scene_id, ref_im_id, obj_id).
+
+    The reference re-encodes the template crop through the ViT for every
+    16-instance chunk and every image sharing the same cross-scene reference
+    (oneref_inference_utils_v1.py:48,81 — the rot50 map reuses refs heavily);
+    caching ``encode_template``'s outputs removes half the encoder work per
+    chunk and all repeated template work across images."""
+
+    def __init__(self, template_fn: Callable, batch_size: int = 16, max_entries: int = 256):
+        from collections import OrderedDict
+
+        self.template_fn = template_fn
+        self.bs = batch_size
+        self.max_entries = max_entries
+        self._store: "OrderedDict[tuple, Dict[str, np.ndarray]]" = OrderedDict()
+
+    def ensure(self, data: Dict[str, np.ndarray]) -> None:
+        """Compute-and-store entries for every ref in this image's batch."""
+        keys = [tuple(int(v) for v in k) for k in data["ref_key"]]
+        missing, seen = [], set()
+        for j, k in enumerate(keys):
+            if k not in self._store and k not in seen:
+                missing.append(j)
+                seen.add(k)
+        for start in range(0, len(missing), self.bs):
+            rows = missing[start : start + self.bs]
+            tem = {k: pad_to(data[k][rows], self.bs) for k in ("tem1_rgb", "tem1_choose", "tem1_pts")}
+            out = {k: np.asarray(v) for k, v in self.template_fn(tem).items()}
+            for jj, row in enumerate(rows):
+                self._store[keys[row]] = {k: v[jj] for k, v in out.items()}
+        while len(self._store) > self.max_entries:
+            self._store.popitem(last=False)
+
+    def gather(self, data: Dict[str, np.ndarray], rows: range) -> Dict[str, np.ndarray]:
+        entries = [self._store[tuple(int(v) for v in data["ref_key"][j])] for j in rows]
+        return {k: np.stack([e[k] for e in entries]) for k in entries[0]}
+
+
 def run_inference(
     infer_fn: Callable,
     dataset,
@@ -75,12 +115,17 @@ def run_inference(
     rng_seed: int = 0,
     num_shards: Optional[int] = None,
     shard_index: Optional[int] = None,
+    template_fn: Optional[Callable] = None,
 ) -> List[str]:
     """infer_fn(inputs: dict of (B, ...) arrays, key) -> dict with
     pred_R (B,3,3), pred_t (B,3) [m], pred_pose_score (B,).
 
     ``dataset``: BOPTestsetPoseFreeOneRef. Writes the BOP19 CSV and a json
     dump of the detections augmented with predicted poses.
+
+    ``template_fn``: optional jitted ``encode_template`` callable
+    (make_template_fn); when given, per-reference features are computed once
+    and reused via a TemplateCache keyed on the dataset's ``ref_key``.
 
     Multi-process: by default each jax process handles its exact contiguous
     slice of the test images (replacing the reference InferenceSampler) and
@@ -102,17 +147,24 @@ def run_inference(
     dets_out = {k: [dict(d) for d in v] for k, v in dataset.dets.items()}
     key = jax.random.PRNGKey(rng_seed + shard_index)
 
+    cache = TemplateCache(template_fn, bs) if template_fn is not None else None
     model_keys = ("pts", "rgb", "rgb_choose", "tem1_rgb", "tem1_choose", "tem1_pts")
+    if cache is not None:
+        model_keys = ("pts", "rgb", "rgb_choose")
     for i, data in enumerate(prefetch_items(dataset, my_indices)):
         t0 = time.perf_counter()
         n_instance = data["pts"].shape[0]
         n_chunks = int(np.ceil(n_instance / bs))
+        if cache is not None:
+            cache.ensure(data)
 
         pred_Rs, pred_Ts, pred_scores = [], [], []
         for j in range(n_chunks):
             sl = slice(j * bs, min((j + 1) * bs, n_instance))
             n_valid = sl.stop - sl.start
             inputs = {k: pad_to(data[k][sl], bs) for k in model_keys}
+            if cache is not None:
+                inputs.update({k: pad_to(v, bs) for k, v in cache.gather(data, range(sl.start, sl.stop)).items()})
             key, sub = jax.random.split(key)
             out = infer_fn(inputs, sub)
             pred_R = np.asarray(out["pred_R"])[:n_valid]
@@ -163,12 +215,37 @@ def run_inference(
     return lines
 
 
-def merge_csv_shards(save_path: str, num_shards: int) -> None:
+def merge_csv_shards(save_path: str, num_shards: int, strict: bool = True) -> None:
     """Concatenate rank CSVs (rank 0 = ``save_path`` itself) into
-    ``save_path`` once every rank has written its part."""
+    ``save_path`` once every rank has written its part, and merge the
+    per-rank detection JSON dumps into rank 0's ``.json``.
+
+    A missing rank part means that rank died before writing — scoring a
+    partial CSV silently would misreport recall, so ``strict`` raises."""
     parts = [Path(save_path)] + [Path(f"{save_path}.rank{r}") for r in range(1, num_shards)]
+    missing = [str(p) for p in parts if not p.exists()]
+    if missing:
+        msg = f"missing {len(missing)}/{num_shards} result shard(s): {missing}"
+        if strict:
+            raise FileNotFoundError(msg)
+        logger.error("%s — merging the rest anyway (strict=False)", msg)
     text = "".join(p.read_text() for p in parts if p.exists())
     Path(save_path).write_text(text)
+
+    # merge detection JSONs: every rank dumps the full det table but fills
+    # pred_R/pred_t only for its own image slice — take predictions from
+    # whichever rank has them
+    json_parts = [Path(str(p).replace(".csv", ".json")) for p in parts]
+    if json_parts[0].exists():
+        merged = json.loads(json_parts[0].read_text())
+        for p in json_parts[1:]:
+            if not p.exists():
+                continue
+            for det_key, dets in json.loads(p.read_text()).items():
+                for i, d in enumerate(dets):
+                    if "pred_R" in d and "pred_R" not in merged[det_key][i]:
+                        merged[det_key][i] = d
+        json_parts[0].write_text(json.dumps(merged))
 
 
 def make_infer_fn(model, variables):
@@ -180,3 +257,22 @@ def make_infer_fn(model, variables):
         return model.apply(variables, inputs, train=False, rngs={"sample": key}, mutable=False)
 
     return infer
+
+
+def make_template_fn(model, variables):
+    """Build a jitted template-onboarding callable (model.encode_template)
+    for ``run_inference(..., template_fn=...)``."""
+    import jax
+
+    @jax.jit
+    def encode(tem_inputs):
+        return model.apply(
+            variables,
+            tem_inputs["tem1_rgb"],
+            tem_inputs["tem1_choose"],
+            tem_inputs["tem1_pts"],
+            method=model.encode_template,
+            mutable=False,
+        )
+
+    return encode

@@ -184,6 +184,12 @@ def train_loop(
 
         if writer is not None and (it % log_period == 0 or it == max_iter - 1):
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            # halt on a non-finite total loss (reference engine.py:169:
+            # ``assert torch.isfinite(losses).all()``) — gradients are
+            # sanitized every step, but a NaN loss means the model state is
+            # already broken and further steps would silently train on garbage
+            if not _np_isfinite(m.get("loss", 0.0)):
+                raise FloatingPointError(f"non-finite loss at iteration {it}: {m}")
             m["iter_time"] = (time.perf_counter() - t_last) / (it - last_logged)
             writer.write(it, m)
             t_last = time.perf_counter()
@@ -193,6 +199,12 @@ def train_loop(
         if eval_fn is not None and cfg.train.get("eval_period", 0) and (it + 1) % cfg.train.eval_period == 0:
             eval_fn(state, it + 1)
     return state
+
+
+def _np_isfinite(x: float) -> bool:
+    import math
+
+    return math.isfinite(x)
 
 
 def _chain_first(first, rest):

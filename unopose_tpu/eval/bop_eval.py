@@ -12,11 +12,20 @@ Protocol (BOP19, reference engine.py:74-84):
     MSSD, MSPD
   * thresholds of correctness: VSD/MSSD tau in 0.05:0.05:0.5 (MSSD relative
     to object diameter), MSPD 5:5:50 px scaled by r = width/640
-  * valid GTs: visib_fract > 0.1; greedy score-ordered matching per
-    (scene, im, obj); n_top = -1 (all estimates)
+  * n_top = -1: per (scene, im, obj) the estimates are truncated to the
+    top `inst_count` by score BEFORE error computation / matching
+    (eval_calc_errors.py:216-243); n_top = 0 keeps all, n_top > 0 keeps
+    that many.
+  * valid GTs: visib_gt_min = -1 (the toolkit default used by the
+    reference, eval_calc_scores.py:56-59 + eval_pose_results_more.py:163):
+    the `inst_count` MOST VISIBLE GT poses per (im, obj) are valid; with
+    visib_gt_min >= 0 a GT is valid iff it is targeted and
+    visib_fract >= visib_gt_min (eval_calc_scores.py:194-214).
+  * greedy score-ordered matching per (scene, im, obj) against valid
+    unmatched GTs (pose_matching.py:40-89)
   * recalls averaged over thresholds; AR = mean(AR_vsd, AR_mssd, AR_mspd);
-    per-object table + instance-weighted overall
-    (bop_eval_utils.py:197-200,269-276)
+    per-object table + overall weighted by per-object target inst_count
+    sums (bop_eval_utils.py:203-216,269-276)
 """
 
 from __future__ import annotations
@@ -125,7 +134,8 @@ def evaluate_bop(
     split: str = "test",
     error_types: Sequence[str] = ("vsd", "mssd", "mspd"),
     targets_name: str = "test_targets_bop19.json",
-    visib_gt_min: float = 0.1,
+    visib_gt_min: float = -1.0,
+    n_top: int = -1,
     im_size=(480, 640),
     max_images: Optional[int] = None,
 ) -> Dict:
@@ -164,6 +174,7 @@ def evaluate_bop(
     }
 
     gt_cache = {}
+    target_insts: Dict[int, int] = {}  # obj -> total targeted inst_count seen
     n_images_done = 0
     for scene_id, images in sorted(scene_images.items()):
         scene_folder = osp.join(dataset_dir, split, f"{scene_id:06d}")
@@ -190,16 +201,29 @@ def evaluate_bop(
             img_ests = by_image.get((scene_id, im_id), [])
             objs_here = {o for (s, i, o) in target_set if s == scene_id and i == im_id}
             for obj_id in sorted(objs_here):
+                inst_count = target_set[(scene_id, im_id, obj_id)]
                 gt_ids = [g for g, gt in enumerate(gts) if gt["obj_id"] == obj_id]
-                valid = {
-                    g: gt_infos[g]["visib_fract"] > visib_gt_min for g in gt_ids
-                }
+                if visib_gt_min >= 0:
+                    # eval_calc_scores.py:194-200: targeted + visib >= min
+                    valid = {g: gt_infos[g]["visib_fract"] >= visib_gt_min for g in gt_ids}
+                else:
+                    # eval_calc_scores.py:202-214: the inst_count most
+                    # visible GTs are valid (stable sort, ties by gt_id)
+                    by_visib = sorted(gt_ids, key=lambda g: -gt_infos[g]["visib_fract"])
+                    valid = {g: False for g in gt_ids}
+                    for g in by_visib[:inst_count]:
+                        valid[g] = True
                 n_valid = sum(valid.values())
                 if n_valid == 0:
                     continue
+                target_insts[obj_id] = target_insts.get(obj_id, 0) + inst_count
+                # sort by score desc (stable: ties keep CSV order,
+                # eval_calc_errors.py:239-243), then n_top truncation
                 obj_ests = sorted(
                     (e for e in img_ests if e["obj_id"] == obj_id), key=lambda e: -e["score"]
                 )
+                n_top_curr = inst_count if n_top == -1 else (n_top if n_top > 0 else None)
+                obj_ests = obj_ests[slice(0, n_top_curr)]
 
                 # compute errors per estimate per GT
                 errs = {et: [] for et in error_types}
@@ -253,7 +277,8 @@ def evaluate_bop(
                         slot[0] += n_valid
 
     # aggregate: per-object AR (mean recall over thresholds [x taus]),
-    # overall = instance-weighted mean (bop_eval_utils.py:197-200)
+    # overall = mean of per-object recalls weighted by the object's total
+    # targeted inst_count (bop_eval_utils.py:203-216,269-276)
     out = {}
     for et in error_types:
         per_object = {}
@@ -263,8 +288,9 @@ def evaluate_bop(
                 continue
             recalls = matched / n_valid
             per_object[obj_id] = float(np.mean(recalls))
-            w_num += np.sum(matched)
-            w_den += n_valid * len(matched)
+            w = target_insts.get(obj_id, n_valid)
+            w_num += w * per_object[obj_id]
+            w_den += w
         out[et] = {"per_object": per_object, "average": float(w_num / max(w_den, 1e-9))}
     out["AR"] = float(np.mean([out[et]["average"] for et in error_types]))
     out["n_images"] = n_images_done

@@ -182,7 +182,7 @@ def restore_eval_variables(model, cfg):
 
 def run_eval(model, cfg, out_dir, variables=None, tag=""):
     from unopose_tpu.data.dataset_test import BOPTestsetPoseFreeOneRef
-    from unopose_tpu.engine.inference import make_infer_fn, merge_csv_shards, run_inference
+    from unopose_tpu.engine.inference import make_infer_fn, make_template_fn, merge_csv_shards, run_inference
 
     dataset = BOPTestsetPoseFreeOneRef(
         cfg.dataloader.test,
@@ -192,10 +192,19 @@ def run_eval(model, cfg, out_dir, variables=None, tag=""):
     if variables is None:
         variables = restore_eval_variables(model, cfg)
     infer_fn = make_infer_fn(model, variables)
+    # per-reference template-feature caching (on by default: the rot50
+    # cross-scene map reuses refs across many query images)
+    template_fn = make_template_fn(model, variables) if cfg.test.get("template_cache", True) else None
     name = cfg.dataloader.test.eval_dataset_name
     save_path = osp.join(out_dir, f"result_{cfg.misc.exp_name}{tag}_{name}-test.csv")
     os.makedirs(out_dir, exist_ok=True)
-    run_inference(infer_fn, dataset, save_path, instance_batch_size=cfg.test.instance_batch_size)
+    run_inference(
+        infer_fn,
+        dataset,
+        save_path,
+        instance_batch_size=cfg.test.instance_batch_size,
+        template_fn=template_fn,
+    )
 
     # multi-process: each rank wrote its image slice; rank 0 merges and
     # scores (reference comm.synchronize + single-rank eval, engine.py:74-84)

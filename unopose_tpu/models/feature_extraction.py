@@ -151,14 +151,22 @@ class ViTEncoderOneRef(nn.Module):
         tem1_pts: Optional[jnp.ndarray] = None,  # (B, P2, 3)
         dense_po: Optional[jnp.ndarray] = None,  # precomputed ref cloud (cache path)
         dense_fo: Optional[jnp.ndarray] = None,  # precomputed ref features
+        tem1_radius: Optional[jnp.ndarray] = None,  # precomputed ref radius (B,)
     ):
         dense_pm = pts
 
         if dense_po is not None and dense_fo is not None:
-            # onboarding-cache path (reference :252-263): features precomputed
+            # onboarding-cache path (reference :252-263): features precomputed;
+            # dense_po arrives UNNORMALIZED (meters). The radius may be cached
+            # alongside (exact: computed from the full template cloud by
+            # encode_template) or recomputed from the subsample (reference
+            # fallback, :256-259).
             dense_fm = self.get_img_feats(rgb, rgb_choose)
-            mean = jnp.mean(dense_po, axis=1, keepdims=True)
-            radius = jnp.max(jnp.linalg.norm(dense_po - mean, axis=-1), axis=-1)
+            if tem1_radius is not None:
+                radius = tem1_radius
+            else:
+                mean = jnp.mean(dense_po, axis=1, keepdims=True)
+                radius = jnp.max(jnp.linalg.norm(dense_po - mean, axis=-1), axis=-1)
             r = radius[:, None, None] + 1e-6
             return dense_pm / r, dense_fm, dense_po / r, dense_fo, radius
 

@@ -89,9 +89,13 @@ class UNOPose(nn.Module):
             sigma_a=ge.get("sigma_a", 15),
             angle_k=ge.get("angle_k", 3),
             reduction_a=ge.get("reduction_a", "max"),
-            # inputs are LRF-normalized coords + the (1,1,1) bg point:
-            # pairwise distance <= 2*sqrt(3) (5% slack for fp rounding)
-            d_index_max=float(2.1 * _np.sqrt(3.0) / ge.get("sigma_d", 0.2)),
+            # With the default global LRF (radius = max dist to centroid)
+            # coords lie in the unit ball, so with the (1,1,1) bg point the
+            # pairwise distance is <= 2*sqrt(3) (5% slack for fp rounding) —
+            # a static bound that lets the sinusoid use its polynomial tail.
+            # use_ref_rad=True keeps raw metric coords (LRF radius 1.0), so
+            # no bound holds by construction: fall back to the exact path.
+            d_index_max=(None if self.use_ref_rad else float(2.1 * _np.sqrt(3.0) / ge.get("sigma_d", 0.2))),
             dtype=self.dtype,
         )
         cm = self.coarse_point_matching or CN()
@@ -132,6 +136,35 @@ class UNOPose(nn.Module):
             return global_lrf(pts, jnp.ones(pts.shape[0], jnp.float32))
         return global_lrf(pts)
 
+    def encode_template(
+        self, tem1_rgb: jnp.ndarray, tem1_choose: jnp.ndarray, tem1_pts: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """Template-only onboarding pass for the inference cache (the
+        reference's dense_po/dense_fo cache concept,
+        oneref_feature_extraction.py:252-263): everything ``__call__``
+        derives purely from the reference crop, computed once per unique
+        reference and reused across chunks/images via the ``dense_po`` /
+        ``dense_fo`` / ``dense_po_lrf`` / ``tem1_radius`` inputs.
+
+        Matches the uncached path exactly: the FPS runs on the
+        radius-normalized cloud (same indices), ``dense_po`` is returned in
+        meters and re-divided by the SAME cached radius downstream
+        (elementwise, so gather-then-divide == divide-then-gather bitwise).
+        """
+        from unopose_tpu.ops.fps import fps, gather_points
+
+        mean = jnp.mean(tem1_pts, axis=1, keepdims=True)
+        radius = jnp.max(jnp.linalg.norm(tem1_pts - mean, axis=-1), axis=-1)
+        r = radius[:, None, None] + 1e-6
+        tem_feat = self.encoder.get_img_feats(tem1_rgb, tem1_choose)
+        idx = fps(jax.lax.stop_gradient((tem1_pts / r).astype(jnp.float32)), self.fine_npoint)
+        return dict(
+            dense_po=gather_points(tem1_pts, idx),  # meters
+            dense_fo=gather_points(tem_feat.astype(jnp.float32), idx),
+            dense_po_lrf=self._lrf(tem1_pts)[:, : self.fine_npoint],
+            tem1_radius=radius,
+        )
+
     def __call__(
         self, inputs: Dict[str, jnp.ndarray], train: bool = False, return_intermediates: bool = False
     ) -> Dict[str, jnp.ndarray]:
@@ -151,14 +184,25 @@ class UNOPose(nn.Module):
             inputs.get("tem1_pts"),
             inputs.get("dense_po"),
             inputs.get("dense_fo"),
+            inputs.get("tem1_radius"),
         )
         dense_fm = dense_fm.astype(self.dtype)
         dense_fo = dense_fo.astype(self.dtype)
 
         # LRF coords computed on the raw (unnormalized) clouds — the LRF has
-        # its own radius normalization (reference model :29-30, :78-93)
+        # its own radius normalization (reference model :29-30, :78-93).
+        # NOTE (parity): the reference computes the template LRF on the FULL
+        # tem1 cloud and gathers rows by FPS indices INTO THE SUBSAMPLE
+        # (model :30 + :41-42 via model_utils.py:156-177) — only rows
+        # < fine_npoint are ever touched; the template-cache path supplies
+        # exactly those rows precomputed (encode_template).
         dense_pm_lrf = self._lrf(inputs["pts"])
-        dense_po_lrf = self._lrf(inputs["tem1_pts"]) if inputs.get("tem1_pts") is not None else self._lrf(dense_po)
+        if inputs.get("dense_po_lrf") is not None:
+            dense_po_lrf = inputs["dense_po_lrf"]
+        elif inputs.get("tem1_pts") is not None:
+            dense_po_lrf = self._lrf(inputs["tem1_pts"])
+        else:
+            dense_po_lrf = self._lrf(dense_po)
 
         B = dense_pm.shape[0]
         bg_point = jnp.ones((B, 1, 3), jnp.float32)

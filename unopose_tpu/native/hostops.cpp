@@ -111,13 +111,18 @@ int bbox_of_mask(const uint8_t* mask, int64_t h, int64_t w, int64_t* out) {
 // (third_party/bop_toolkit .../renderer_vispy.py) used for VSD.
 void rasterize_depth(const float* verts, int64_t n_verts, const int32_t* faces, int64_t n_faces,
                      float fx, float fy, float cx, float cy, int64_t h, int64_t w, float* depth) {
-    (void)n_verts;
     const float INF = 1e30f;
     for (int64_t i = 0; i < h * w; ++i) depth[i] = INF;
     for (int64_t f = 0; f < n_faces; ++f) {
-        const float* a = verts + 3 * (int64_t)faces[3 * f + 0];
-        const float* b = verts + 3 * (int64_t)faces[3 * f + 1];
-        const float* c = verts + 3 * (int64_t)faces[3 * f + 2];
+        const int64_t ia = (int64_t)faces[3 * f + 0];
+        const int64_t ib = (int64_t)faces[3 * f + 1];
+        const int64_t ic = (int64_t)faces[3 * f + 2];
+        // a malformed/corrupt PLY may carry out-of-range indices; skip the
+        // face instead of reading out of bounds
+        if (ia < 0 || ib < 0 || ic < 0 || ia >= n_verts || ib >= n_verts || ic >= n_verts) continue;
+        const float* a = verts + 3 * ia;
+        const float* b = verts + 3 * ib;
+        const float* c = verts + 3 * ic;
         double z1 = a[2], z2 = b[2], z3 = c[2];
         if (z1 <= 1e-6 || z2 <= 1e-6 || z3 <= 1e-6) continue;
         double x1 = (fx * a[0] + cx * a[2]) / z1, y1 = (fy * a[1] + cy * a[2]) / z1;

@@ -182,12 +182,24 @@ def compute_coarse_Rt_overlap(
     # One fused pass: XLA folds the min over N2 into the distance
     # computation, and sqrt(min(d2)) == min(sqrt(d2)) needs only one sqrt
     # over (B, P2, N1) — profiled faster than the former lax.map chunking
-    # (which serialized 10 sequential chunk dispatches).
-    del selection_chunks
-    tp = jnp.matmul(pts1[:, None] - ts, rs)  # (B, P2, N1, 3)
-    d2 = pairwise_sqdist(tp, model_pts[:, None])  # (B, P2, N1, N2)
-    d = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))  # (B, P2, N1)
-    scores = jnp.sum(w1, axis=1)[:, None] / (jnp.sum(d * w1[:, None], axis=2) + 1e-8)
+    # (which serialized 10 sequential chunk dispatches). The fused pass
+    # materializes a (B, P2, N1, N2) tensor (~740MB fp32 at the B=16
+    # defaults); above a ~1.2GB budget the requested ``selection_chunks``
+    # splits the hypotheses so large batch / n_proposal2 cannot OOM.
+    def _sel_scores(rs_c, ts_c):
+        tp = jnp.matmul(pts1[:, None] - ts_c, rs_c)  # (B, p, N1, 3)
+        d2 = pairwise_sqdist(tp, model_pts[:, None])  # (B, p, N1, N2)
+        d = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))  # (B, p, N1)
+        return jnp.sum(w1, axis=1)[:, None] / (jnp.sum(d * w1[:, None], axis=2) + 1e-8)
+
+    if selection_chunks > 1 and B * n_proposal2 * N1 * N2 > 300_000_000:
+        chunk = -(-n_proposal2 // selection_chunks)
+        scores = jnp.concatenate(
+            [_sel_scores(rs[:, i : i + chunk], ts[:, i : i + chunk]) for i in range(0, n_proposal2, chunk)],
+            axis=1,
+        )
+    else:
+        scores = _sel_scores(rs, ts)
     best = jnp.argmax(scores, axis=1)
     pose_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
     R = jnp.take_along_axis(rs, best[:, None, None, None], axis=1)[:, 0]
