@@ -32,3 +32,20 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-size / long-running tests, excluded unless UNOPOSE_RUN_SLOW=1 "
+        "(keeps the default suite under the ~6 min budget)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("UNOPOSE_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow test: set UNOPOSE_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

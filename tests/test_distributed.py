@@ -1,0 +1,66 @@
+"""Two-process distributed inference integration test (VERDICT round-1
+item 8): real ``jax.distributed.initialize`` over two CPU processes driving
+``run_inference`` end-to-end — per-rank CSV shards, ``sync_processes``
+barrier, rank-0 merge — and the merged result must equal the
+single-process output."""
+
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+from tests.test_inference import FakeDataset, _fake_infer_fn
+from unopose_tpu.engine.inference import run_inference
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _strip_time(text):
+    return ["\n".join(ln.rsplit(",", 1)[:1]) for ln in text.strip().splitlines()]
+
+
+def test_two_process_inference_matches_single(tmp_path):
+    out = str(tmp_path / "result.csv")
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers need no virtual mesh
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                osp.join(REPO, "tests", "dist_infer_worker.py"),
+                "--rank", str(r), "--nprocs", "2",
+                "--coordinator", coordinator, "--out", out,
+            ],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for r in range(2)
+    ]
+    outputs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, o[-3000:]
+
+    # single-process reference on the same dataset
+    ref_csv = str(tmp_path / "single.csv")
+    run_inference(_fake_infer_fn, FakeDataset(n_images=5, seed=7), ref_csv, instance_batch_size=2,
+                  num_shards=1, shard_index=0)
+
+    merged = _strip_time(open(out).read())
+    single = _strip_time(open(ref_csv).read())
+    assert merged == single
+    # both rank shards actually existed (rank1 suffix file written)
+    assert osp.exists(out + ".rank1")

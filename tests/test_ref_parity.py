@@ -85,14 +85,14 @@ def _vote_ties(pts: np.ndarray, scales=PE_SCALES) -> np.ndarray:
     return ties
 
 
-def detied_cloud(rng, B, n, transform=None, max_rounds=80):
+def detied_cloud(rng, B, n, transform=None, max_rounds=80, scales=PE_SCALES):
     """Sphere cloud where every PE-scale LRF vote is decisive (in the
     ``transform``-ed frame if given): tied points are resampled until the
     mask clears — deterministic under the seeded rng."""
     pts = surface_cloud(rng, B, n)
     for _ in range(max_rounds):
         q = pts if transform is None else transform(pts)
-        ties = _vote_ties(q)
+        ties = _vote_ties(q, scales=scales)
         if not ties.any():
             return pts
         fresh = surface_cloud(rng, 1, int(ties.sum()))[0]

@@ -58,3 +58,48 @@ def test_collate():
     samples = [dict(a=np.ones((2, 3)), b=np.zeros(4)) for _ in range(3)]
     out = collate(samples)
     assert out["a"].shape == (3, 2, 3) and out["b"].shape == (3, 4)
+
+
+def test_finite_loss_guard(tmp_path):
+    """A non-finite loss must halt the run (reference engine.py:169)."""
+    import pytest
+
+    cfg = get_tiny_cfg(IMG, NPTS, NCOARSE, NTEM)
+    cfg.train.max_iter = 2
+    cfg.train.log_period = 1
+    model = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.float32)
+
+    def poisoned():
+        for batch in synthetic_train_iter(8, img_size=IMG, n_pts=NPTS, n_tem=NTEM):
+            batch["pts"] = batch["pts"] * np.nan
+            yield batch
+
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        train_loop(model, cfg, poisoned(), mesh=make_mesh(8), writer=RecordingWriter())
+
+
+def test_convergence_smoke():
+    """>= 50 optimization steps on geometrically-consistent synthetic data:
+    the loss trend must decrease (VERDICT round-1 item 7). Slow-marked."""
+    import pytest
+
+    pytest.importorskip("os")
+    import os
+
+    if not os.environ.get("UNOPOSE_RUN_SLOW"):
+        pytest.skip("slow test: set UNOPOSE_RUN_SLOW=1 to run")
+
+    cfg = get_tiny_cfg(IMG, NPTS, NCOARSE, NTEM)
+    cfg.train.max_iter = 60
+    cfg.train.log_period = 1
+    cfg.lr_multiplier.warmup_iters = 10
+    cfg.optimizer.lr = 3e-4
+    model = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.float32)
+    data_iter = synthetic_train_iter(8, img_size=IMG, n_pts=NPTS, n_tem=NTEM)
+
+    writer = RecordingWriter()
+    train_loop(model, cfg, data_iter, mesh=make_mesh(8), writer=writer)
+    losses = np.array([m["loss"] for _, m in writer.records])
+    assert np.isfinite(losses).all()
+    head, tail = losses[:10].mean(), losses[-10:].mean()
+    assert tail < head * 0.9, f"no convergence: first10={head:.4f} last10={tail:.4f}"

@@ -40,10 +40,11 @@ import numpy as np
 
 from unopose_tpu.data.preprocess import load_im, load_json
 from unopose_tpu.eval.pose_error import (
+    depth_im_to_dist_im,
     get_symmetry_transformations,
     mspd,
     mssd,
-    vsd_from_depths,
+    vsd_from_dists,
 )
 from unopose_tpu.eval.ply import load_ply
 from unopose_tpu.eval.renderer import MeshRasterRenderer, PointSplatRenderer
@@ -151,8 +152,12 @@ def evaluate_bop(
 
     targets = load_json(osp.join(dataset_dir, targets_name))
     target_set = {}  # (scene, im, obj) -> inst_count
+    # pre-index by image: per-image work must not rescan the full target
+    # list (O(images x targets) on real YCB-V: ~900 x ~4000)
+    targets_by_image = defaultdict(dict)  # (scene, im) -> {obj: inst_count}
     for t in targets:
         target_set[(t["scene_id"], t["im_id"], t["obj_id"])] = t.get("inst_count", 1)
+        targets_by_image[(t["scene_id"], t["im_id"])][t["obj_id"]] = t.get("inst_count", 1)
 
     ests = load_estimates_csv(result_csv)
     by_image = defaultdict(list)
@@ -199,9 +204,10 @@ def evaluate_bop(
             depth_test = None
 
             img_ests = by_image.get((scene_id, im_id), [])
-            objs_here = {o for (s, i, o) in target_set if s == scene_id and i == im_id}
+            objs_here = targets_by_image[(scene_id, im_id)]
+            gt_depth_cache = {}  # gt index -> rendered depth (per image)
             for obj_id in sorted(objs_here):
-                inst_count = target_set[(scene_id, im_id, obj_id)]
+                inst_count = objs_here[obj_id]
                 gt_ids = [g for g, gt in enumerate(gts) if gt["obj_id"] == obj_id]
                 if visib_gt_min >= 0:
                     # eval_calc_scores.py:194-200: targeted + visib >= min
@@ -244,14 +250,19 @@ def evaluate_bop(
                             e_errs["mspd"][g] = mspd(e["R"], e["t"], R_g, t_g, K, pts, syms) / r
                         if need_vsd:
                             if depth_test is None:
-                                depth_test = (
+                                depth_test = depth_im_to_dist_im(
                                     load_im(osp.join(scene_folder, "depth", f"{im_id:06d}.png")).astype(np.float64)
-                                    * depth_scale
+                                    * depth_scale,
+                                    K,
                                 )
-                            d_est = renderer.render_depth(obj_id, e["R"], e["t"], K)
-                            d_gt = renderer.render_depth(obj_id, R_g, t_g, K)
-                            vsd_errs = vsd_from_depths(
-                                d_est, d_gt, depth_test, K, VSD_DELTA, VSD_TAUS, True, store.diameter(obj_id)
+                            d_est = depth_im_to_dist_im(renderer.render_depth(obj_id, e["R"], e["t"], K), K)
+                            if g not in gt_depth_cache:
+                                gt_depth_cache[g] = depth_im_to_dist_im(
+                                    renderer.render_depth(obj_id, R_g, t_g, K), K
+                                )
+                            d_gt = gt_depth_cache[g]
+                            vsd_errs = vsd_from_dists(
+                                d_est, d_gt, depth_test, VSD_DELTA, VSD_TAUS, True, store.diameter(obj_id)
                             )
                             e_errs["vsd"][g] = vsd_errs  # list over taus
                     for et in error_types:

@@ -73,13 +73,27 @@ def te(t_est, t_gt) -> float:
 # ------------------------------------------------------------------ VSD
 
 
+_RAY_NORM_CACHE: dict = {}
+
+
+def _ray_norm(K: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Per-pixel ||ray|| factor for depth->distance conversion; depends only
+    on (K, H, W) so it is cached — the evaluator converts hundreds of images
+    per (scene) camera and the meshgrid dominated its profile."""
+    key = (K[0, 0], K[1, 1], K[0, 2], K[1, 2], H, W)
+    if key not in _RAY_NORM_CACHE:
+        if len(_RAY_NORM_CACHE) > 8:
+            _RAY_NORM_CACHE.clear()
+        xs = (np.arange(W) - K[0, 2]) / K[0, 0]
+        ys = (np.arange(H) - K[1, 2]) / K[1, 1]
+        _RAY_NORM_CACHE[key] = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + 1.0)
+    return _RAY_NORM_CACHE[key]
+
+
 def depth_im_to_dist_im(depth: np.ndarray, K: np.ndarray) -> np.ndarray:
     """Depth (z) image -> distance-from-camera image (misc.py:142-163)."""
     H, W = depth.shape
-    xs = (np.arange(W) - K[0, 2]) / K[0, 0]
-    ys = (np.arange(H) - K[1, 2]) / K[1, 1]
-    X, Y = np.meshgrid(xs, ys)
-    return depth * np.sqrt(X * X + Y * Y + 1.0)
+    return depth * _ray_norm(K, H, W)
 
 
 def estimate_visib_mask(d_test: np.ndarray, d_model: np.ndarray, delta: float, mode: str = "bop19") -> np.ndarray:
@@ -107,10 +121,31 @@ def vsd_from_depths(
     (pose_error.py:17-102 minus the renderer calls).
 
     Returns one error per misalignment tolerance tau."""
-    dist_test = depth_im_to_dist_im(depth_test, K)
-    dist_gt = depth_im_to_dist_im(depth_gt, K)
-    dist_est = depth_im_to_dist_im(depth_est, K)
+    return vsd_from_dists(
+        depth_im_to_dist_im(depth_est, K),
+        depth_im_to_dist_im(depth_gt, K),
+        depth_im_to_dist_im(depth_test, K),
+        delta,
+        taus,
+        normalized_by_diameter,
+        diameter,
+        cost_type,
+    )
 
+
+def vsd_from_dists(
+    dist_est: np.ndarray,
+    dist_gt: np.ndarray,
+    dist_test: np.ndarray,
+    delta: float,
+    taus: Sequence[float],
+    normalized_by_diameter: bool,
+    diameter: float,
+    cost_type: str = "step",
+) -> List[float]:
+    """VSD on pre-converted distance images — the evaluator caches
+    dist_test per image and dist_gt per GT so only dist_est is converted
+    per estimate."""
     visib_gt = estimate_visib_mask(dist_test, dist_gt, delta)
     visib_est = estimate_visib_mask(dist_test, dist_est, delta)
     visib_est = np.logical_or(visib_est, np.logical_and(visib_gt, dist_est > 0))
