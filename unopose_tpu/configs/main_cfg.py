@@ -91,6 +91,9 @@ def get_cfg() -> CN:
                 angle_k=3,
                 reduction_a="max",
                 hidden_dim=256,
+                # TPU extension: fused Pallas RPE kernel table size (0 = off);
+                # inference-only, auto-gated on backend inside the module
+                fused_table=128,
             ),
             coarse_point_matching=dict(
                 nblock=3,

@@ -83,6 +83,21 @@ def sinusoidal_embedding(
     return jnp.concatenate([sin_hi, sin_lo, cos_hi, cos_lo], axis=-1)
 
 
+class _DenseVars(nn.Module):
+    """Declares the exact param tree of an nn.Dense child (kernel, bias)
+    without applying it — the fused geo path consumes the raw weights to
+    build pre-projected Taylor tables (ops/geo_fused.build_taylor_table)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class GeometricStructureEmbedding(nn.Module):
     """GeoTransformer relative position embedding on a sparse point set.
 
@@ -112,6 +127,15 @@ class GeometricStructureEmbedding(nn.Module):
     # tail of the d-sinusoid into small-angle polynomials. None = no bound
     # assumed (generic callers).
     d_index_max: float | None = None
+    # fused Pallas path (ops/geo_fused.py): second-order Taylor evaluation
+    # of the pre-projected sinusoid curves from a T-point table — the whole
+    # embedding (distances, angles, both sinusoid projections, max-over-k,
+    # final sum) runs in one kernel. Requires d_index_max and reduction_a
+    # == 'max'. 0 = off; typical T = 128 (error ~1e-6, see geo_fused).
+    # Inference-only: the kernel has no VJP (the reference stop-gradients
+    # the inputs, but the projection weights would need one for training).
+    fused_table: int = 0
+    fused_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _make_table(self, proj: nn.Dense, x_max: jnp.ndarray) -> jnp.ndarray:
@@ -134,7 +158,7 @@ class GeometricStructureEmbedding(nn.Module):
         return lo + f * (hi - lo)
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, points: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """points (B, N, 3) -> embeddings (B, N, N, hidden_dim)."""
         points = jax.lax.stop_gradient(points.astype(jnp.float32))
         B, N, _ = points.shape
@@ -149,6 +173,26 @@ class GeometricStructureEmbedding(nn.Module):
         knn_idx = knn_idx[..., 1:]  # (B, N, k)
         knn_pts = jnp.take_along_axis(points[:, None, :, :], knn_idx[..., None], axis=2)  # (B, N, k, 3)
         ref_vec = knn_pts - points[:, :, None, :]  # (B, N, k, 3)
+
+        if (
+            self.fused_table
+            and not train  # kernel has no VJP; training uses the XLA path
+            and self.d_index_max is not None
+            and self.reduction_a == "max"
+            and not self.table_size
+            and (jax.default_backend() == "tpu" or self.fused_interpret)
+        ):
+            from unopose_tpu.ops.geo_fused import build_taylor_table, geo_rpe_fused
+
+            kd, bd = _DenseVars(self.hidden_dim, self.hidden_dim, name="proj_d")()
+            ka, ba = _DenseVars(self.hidden_dim, self.hidden_dim, name="proj_a")()
+            tab_d, scale_d = build_taylor_table(kd, bd, float(self.d_index_max), self.fused_table)
+            tab_a, scale_a = build_taylor_table(ka, ba, float(np.pi * factor_a), self.fused_table)
+            return geo_rpe_fused(
+                points, ref_vec, tab_d, tab_a, scale_d, scale_a,
+                sigma_d=self.sigma_d, factor_a=factor_a,
+                out_dtype=self.dtype, interpret=self.fused_interpret,
+            )
         # planar channel math: the (B, N, N) anchor-vector planes keep the
         # big tensors 2-D-tiled; a trailing width-3 axis (and the 5-D
         # jnp.cross it forces) wastes ~98% of each (8, 128) register tile
