@@ -393,6 +393,45 @@ def test_ball_group_planar_first_k_matches_oracle(rng):
         np.testing.assert_allclose(got[b][np.asarray(valid)[b]], xyz[b][idx[b]][np.asarray(valid)[b]], atol=1e-6)
 
 
+def test_two_scale_first_k_fast_matches_exact(rng):
+    """The sort-free first_k grouping (chunked budgets + overflow fallback)
+    returns the SAME padded multiset per point as the reference sort path —
+    slot order differs, the set (and the pad-duplicate count/identity,
+    which feed the unmasked LRF) does not."""
+    from unopose_tpu.ops.ball_query import (
+        two_scale_group_exact_planar,
+        two_scale_group_first_k_fast,
+    )
+
+    B, N = 2, 512
+    R1, K1, R2, K2 = 0.1, 64, 0.2, 256
+    v = rng.normal(size=(B, N, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    r = 0.5 * (1.0 + 0.2 * np.sin(3 * v[..., 0:1]) * np.cos(4 * v[..., 1:2]))
+    pts = jnp.asarray((r * v + rng.normal(size=(B, N, 3)) * 2e-3).astype(np.float32))
+
+    def canon(planes):
+        a = np.stack([np.asarray(p) for p in planes], axis=-1)
+        flat = a.reshape(-1, a.shape[2], 3)
+        out = np.empty_like(flat)
+        for i in range(flat.shape[0]):
+            out[i] = flat[i][np.lexsort((flat[i, :, 2], flat[i, :, 1], flat[i, :, 0]))]
+        return out
+
+    g1e, g2e = jax.jit(lambda p: two_scale_group_exact_planar(R1, K1, R2, K2, p))(pts)
+    g1f, g2f = jax.jit(lambda p: two_scale_group_first_k_fast(R1, K1, R2, K2, p))(pts)
+    np.testing.assert_array_equal(canon(g2e), canon(g2f))
+    np.testing.assert_array_equal(canon(g1e), canon(g1f))
+
+    # dense cluster: every budget overflows -> lax.cond falls back to the
+    # exact sort path, bitwise identical
+    pts2 = jnp.asarray((rng.normal(size=(B, N, 3)) * 0.01).astype(np.float32))
+    e = jax.jit(lambda p: two_scale_group_exact_planar(R1, K1, R2, K2, p))(pts2)
+    f = jax.jit(lambda p: two_scale_group_first_k_fast(R1, K1, R2, K2, p))(pts2)
+    for ep, fp in zip((*e[0], *e[1]), (*f[0], *f[1])):
+        np.testing.assert_array_equal(np.asarray(ep), np.asarray(fp))
+
+
 def test_ball_group_subset_pallas_matches_xla(rng):
     """The Pallas subset-grouping kernel (interpret mode on CPU) selects
     exactly the same neighbors, distances and validity as the XLA subset

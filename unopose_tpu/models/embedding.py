@@ -127,11 +127,11 @@ class GeometricStructureEmbedding(nn.Module):
     # tail of the d-sinusoid into small-angle polynomials. None = no bound
     # assumed (generic callers).
     d_index_max: float | None = None
-    # fused Pallas path (ops/geo_fused.py): second-order Taylor evaluation
-    # of the pre-projected sinusoid curves from a T-point table — the whole
+    # fused Pallas path (ops/geo_fused.py): 3-point Lagrange evaluation of
+    # the pre-projected sinusoid curves from a T-point table — the whole
     # embedding (distances, angles, both sinusoid projections, max-over-k,
     # final sum) runs in one kernel. Requires d_index_max and reduction_a
-    # == 'max'. 0 = off; typical T = 128 (error ~1e-6, see geo_fused).
+    # == 'max'. 0 = off; typical T = 128 (error ~2e-4, see geo_fused).
     # Inference-only: the kernel has no VJP (the reference stop-gradients
     # the inputs, but the projection weights would need one for training).
     fused_table: int = 0

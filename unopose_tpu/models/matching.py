@@ -139,6 +139,31 @@ class _BNVars(nn.Module):
         return scale, bias, mean.value, var.value
 
 
+def pe_fused_path(m: "FinePositionalEncoding", g1, valid1, g2, valid2, center, interpret: bool):
+    """Invoke the fused PE kernel (ops/pe_fused.py), declaring the identical
+    parameter/batch_stats tree as the XLA path (folded inference BN)."""
+    from unopose_tpu.ops.pe_fused import fold_bn, pe_fused
+
+    folded = {}
+    for name in ("mlp1", "mlp2"):
+        Ws, bs = [], []
+        cin = 6
+        for i, d in enumerate((32, 64, 128)):
+            W = m.param(f"{name}_fc{i}_kernel", nn.initializers.he_normal(), (cin, d))
+            scale, bias, mean, var = _BNVars(d, name=f"{name}_bn{i}")()
+            Wf, bf = fold_bn(W, scale, bias, mean, var)
+            Ws.append(Wf)
+            bs.append(bf)
+            cin = d
+        folded[name] = (Ws, bs)
+    return pe_fused(
+        g1, valid1, g2, valid2, center,
+        *folded["mlp1"], *folded["mlp2"],
+        m.r1, m.r2,
+        interpret=interpret,
+    )  # (B, P, 256) points-major
+
+
 class FinePositionalEncoding(nn.Module):
     """Two-scale local-geometry encoding (reference fine :138-178).
 
@@ -242,13 +267,50 @@ class FinePositionalEncoding(nn.Module):
             # queries, UNMASKED LRF + max-pool over the padded slots —
             # duplicate pads participate in the covariance/vote exactly as
             # in the CUDA kernels (pointnet2_utils.py QueryAndLRFGroup).
-            from unopose_tpu.ops.ball_query import two_scale_group_exact_planar
+            # The grouping itself uses the sort-free fast path (exact: it
+            # self-detects budget overflow and falls back to the reference
+            # sort inside lax.cond — ops/ball_query.two_scale_group_first_k_fast).
+            from jax.ad_checkpoint import checkpoint_name
 
-            g1, g2 = two_scale_group_exact_planar(self.r1, self.nsample1, self.r2, self.nsample2, pts)
-            f1 = self._scale(center, g1, self.r1, (32, 64, 128), train, "mlp1", mask=None)
-            f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2", mask=None)
-            feat = jnp.concatenate([f1, f2], axis=1)
-            feat = jnp.swapaxes(feat, 1, 2)
+            from unopose_tpu.ops.ball_query import (
+                two_scale_group_exact_planar,
+                two_scale_group_first_k_fast,
+            )
+
+            N = pts.shape[1]
+            if N % 4 == 0 and self.nsample2 % 4 == 0:
+                g1, g2 = two_scale_group_first_k_fast(
+                    self.r1, self.nsample1, self.r2, self.nsample2, pts
+                )
+            else:
+                g1, g2 = two_scale_group_exact_planar(
+                    self.r1, self.nsample1, self.r2, self.nsample2, pts
+                )
+            g1 = tuple(checkpoint_name(g, "pe_grouped") for g in g1)
+            g2 = tuple(checkpoint_name(g, "pe_grouped") for g in g2)
+            on_tpu_fk = jax.default_backend() == "tpu"
+            use_fused_fk = (
+                not train
+                and self.use_bn
+                and self.use_lrf
+                and self.use_xyz
+                and (self.fused if self.fused is not None else on_tpu_fk)
+                and pts.shape[1] % 32 == 0
+            )
+            if use_fused_fk:
+                # all-ones masks: the fused kernel's masked LRF/max over
+                # every slot (padding duplicates included) IS the reference's
+                # unmasked semantics; bf16 contractions match the XLA path's
+                # effective TPU precision (study: first_k_bf16 pose delta 0)
+                ones1 = jnp.ones(g1[0].shape, bool)
+                ones2 = jnp.ones(g2[0].shape, bool)
+                feat = pe_fused_path(
+                    self, g1, ones1, g2, ones2, center, interpret=not on_tpu_fk
+                )
+            else:
+                f1 = self._scale(center, g1, self.r1, (32, 64, 128), train, "mlp1", mask=None)
+                f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2", mask=None)
+                feat = jnp.swapaxes(jnp.concatenate([f1, f2], axis=1), 1, 2)
             return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
 
         # two independent subset groupings at the reference's budgets
@@ -300,26 +362,7 @@ class FinePositionalEncoding(nn.Module):
             # single Pallas kernel: LRF + folded-BN MLPs + masked max stay
             # in VMEM (see ops/pe_fused.py); declares the identical
             # parameter/batch_stats tree as the XLA path below.
-            from unopose_tpu.ops.pe_fused import fold_bn, pe_fused
-
-            folded = {}
-            for name in ("mlp1", "mlp2"):
-                Ws, bs = [], []
-                cin = 6
-                for i, d in enumerate((32, 64, 128)):
-                    W = self.param(f"{name}_fc{i}_kernel", nn.initializers.he_normal(), (cin, d))
-                    scale, bias, mean, var = _BNVars(d, name=f"{name}_bn{i}")()
-                    Wf, bf = fold_bn(W, scale, bias, mean, var)
-                    Ws.append(Wf)
-                    bs.append(bf)
-                    cin = d
-                folded[name] = (Ws, bs)
-            feat = pe_fused(
-                g1, valid1, g2, valid2, center,
-                *folded["mlp1"], *folded["mlp2"],
-                self.r1, self.r2,
-                interpret=not on_tpu,
-            )  # (B, P, 256) points-major
+            feat = pe_fused_path(self, g1, valid1, g2, valid2, center, interpret=not on_tpu)
         else:
             f1 = self._scale(center, g1, self.r1, (32, 64, 128), train, "mlp1", mask=valid1)
             f2 = self._scale(center, g2, self.r2, (32, 64, 128), train, "mlp2", mask=valid2)

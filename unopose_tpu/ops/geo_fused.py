@@ -8,21 +8,23 @@ projection, with every intermediate round-tripping HBM. Profiled at
 
 TPU-native rewrite:
 
-1. **Pre-projected Taylor tables.** For a STATICALLY bounded index domain
+1. **Pre-projected tables.** For a STATICALLY bounded index domain
    ``x in [0, x_max]`` the map ``f(x) = sinusoid(x) @ W + b`` is a fixed
-   smooth curve per forward step. Sample f, f', f''/2 on a T-point grid
-   *after* the projection (3T x D). A second-order Taylor step from the
-   nearest grid point reconstructs any x with error h^3 * omega_max^3 / 48
-   (~6e-8 at T=128 over the production domains — five orders below the
-   1e-3 reference-parity gate) while folding BOTH the transcendentals and
-   the projection GEMM into one MXU contraction.
+   smooth curve per forward step. Sample f on a T-point grid *after* the
+   projection (T x D), folding BOTH the transcendentals and the projection
+   GEMM into one MXU contraction.
 
-2. **Expanded one-hot instead of gathers.** TPUs have no fast per-element
-   gather, so the evaluation is a dense contraction: build
-   ``E = [onehot(q) | r*onehot(q) | r^2*onehot(q)]`` (rows x 3T, ~4 VPU
-   ops per entry) and compute ``E @ [T0; T1*h; T2*h^2]`` — K = 3T = 384
-   fills three full systolic depths; the former path paid ~1.9k VPU ops
-   per element on polynomial sincos alone.
+2. **3-point Lagrange stencil instead of gathers.** TPUs have no fast
+   per-element gather, so the evaluation is a dense contraction: build
+   ``E[i, j] = l_delta(r_i)`` where ``delta = j - q_i in {-1, 0, 1}`` and
+   ``l`` are the quadratic Lagrange weights on the centered stencil
+   (~8 VPU ops per entry), then ``E @ table``. Reconstruction error is
+   O(|f'''| h^3 / 16) — ~2e-4 at T=128 over the production domains, an
+   order below the 1e-3 reference-parity gate. At T=128 the contraction
+   depth K = T fills the systolic array exactly once per eval (a
+   second-order Taylor formulation needs K = 3T = three passes for the
+   same order); the pre-rewrite path paid ~1.9k VPU ops per element on
+   polynomial sincos alone.
 
 The Pallas kernel fuses, per (batch, row-block): pairwise distances,
 distance-table evaluation, angle_k cross-product angles (branchless
@@ -80,46 +82,43 @@ def build_taylor_table(
     x_max: float,
     T: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(3T, D) stacked [f(grid); h*f'(grid); h^2/2*f''(grid)] plus scale.
+    """(T, D) table f(grid) plus scale, f(x) = sinusoid(x) @ W + b with the
+    concat [sin_0.., cos_0..] layout of models/embedding.sinusoidal_embedding.
 
-    f(x) = sinusoid(x) @ W + b with the concat [sin_0.., cos_0..] layout of
-    models/embedding.sinusoidal_embedding. Derivatives are exact:
-    d/dx sin(w x) = w cos(w x), d/dx cos(w x) = -w sin(w x). The grid-unit
-    prefactors h, h^2/2 are folded into the derivative tables so the kernel
-    works in grid units. Returns (table (3T, D) fp32, scale = 1/h) with
-    grid position pos = x * scale (row q = round(pos), remainder r = pos-q,
-    |r| <= 0.5).
+    Returns (table (T, D) fp32, scale = 1/h) with grid position
+    pos = x * scale; the kernel evaluates f by a 3-point Lagrange stencil
+    around q = round(pos).
     """
     D_sin = W.shape[0]
-    half = D_sin // 2
-    om = jnp.exp(jnp.arange(0, D_sin, 2, dtype=jnp.float32) * (-np.log(10000.0) / D_sin))  # (half,)
+    om = jnp.exp(jnp.arange(0, D_sin, 2, dtype=jnp.float32) * (-np.log(10000.0) / D_sin))
     h = x_max / (T - 1)
     grid = jnp.arange(T, dtype=jnp.float32) * h
-    arg = grid[:, None] * om[None, :]  # (T, half)
-    s, c = jnp.sin(arg), jnp.cos(arg)
-    f0 = jnp.concatenate([s, c], axis=-1)  # (T, D_sin)
-    f1 = jnp.concatenate([om * c, -om * s], axis=-1) * h
-    f2 = jnp.concatenate([-(om**2) * s, -(om**2) * c], axis=-1) * (0.5 * h * h)
-    W = W.astype(jnp.float32)
-    # the table GEMMs are tiny (3T x D_sin x D) but their values anchor the
-    # whole reconstruction — default (bf16-accumulated) precision costs 5e-3
-    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    t0 = mm(f0, W) + b.astype(jnp.float32)
-    t1 = mm(f1, W)
-    t2 = mm(f2, W)
-    return jnp.concatenate([t0, t1, t2], axis=0), float(1.0 / h)
+    arg = grid[:, None] * om[None, :]  # (T, D_sin/2)
+    f0 = jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)  # (T, D_sin)
+    # the table GEMM is tiny (T x D_sin x D) but its values anchor the whole
+    # reconstruction — default (bf16-accumulated) precision costs 5e-3
+    t0 = jnp.matmul(f0, W.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)
+    return t0 + b.astype(jnp.float32), float(1.0 / h)
 
 
 def _taylor_eval(pos, tab, T: int, r_blk: int, Np: int, D: int, mm_dtype):
-    """pos (r_blk, Np) in grid units -> (r_blk*Np, D) fp32 via the
-    expanded-one-hot contraction with the (3T, D) Taylor table."""
+    """pos (r_blk, Np) in grid units -> (r_blk*Np, D) fp32: quadratic
+    Lagrange weights on the {q-1, q, q+1} stencil, evaluated as a dense
+    (rows, T) @ (T, D) contraction (K = T = one systolic pass at T=128)."""
     pos = jnp.clip(pos, 0.0, T - 1.0)
-    q = jnp.floor(pos + 0.5)
-    r = (pos - q)[:, :, None]  # (r_blk, Np, 1), |r| <= 0.5
+    # clamp the stencil center to [1, T-2]: at the edges |r| grows to <= 1,
+    # where the centered quadratic is still second-order accurate
+    q = jnp.clip(jnp.floor(pos + 0.5), 1.0, T - 2.0)
+    r = (pos - q)[:, :, None]  # (r_blk, Np, 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, Np, T), 2)  # Mosaic: iota must be int
-    oh = (iota == q.astype(jnp.int32)[:, :, None]).astype(jnp.float32)  # (r_blk, Np, T)
-    E = jnp.concatenate([oh, oh * r, oh * (r * r)], axis=-1)  # (r_blk, Np, 3T)
-    E = E.reshape(r_blk * Np, 3 * T)
+    delta = iota - q.astype(jnp.int32)[:, :, None]
+    l_m = 0.5 * r * (r - 1.0)
+    l_0 = 1.0 - r * r
+    l_p = 0.5 * r * (r + 1.0)
+    E = jnp.where(
+        delta == 0, l_0, jnp.where(delta == -1, l_m, jnp.where(delta == 1, l_p, 0.0))
+    )  # (r_blk, Np, T)
+    E = E.reshape(r_blk * Np, T)
     # bf16 operands + HIGHEST is rejected by Mosaic ("Bad lhs type"); the
     # operand dtype already fixes the contraction precision, and the fp32
     # accumulator carries the result
@@ -148,7 +147,7 @@ def _geo_kernel(
     out_dtype,
 ):
     kv = rest[: 3 * k]
-    tab_d = rest[3 * k][...]
+    tab_d = rest[3 * k][...]  # (T, D)
     tab_a = rest[3 * k + 1][...]
     out_ref = rest[3 * k + 2]
 
@@ -197,8 +196,7 @@ def geo_rpe_fused(
     """Fused distance+angular RPE -> (B, N, N, D). See module docstring."""
     B, N, _ = points.shape
     k = ref_vec.shape[2]
-    T3, D = tab_d.shape
-    T = T3 // 3
+    T, D = tab_d.shape
     Np = ((N + 127) // 128) * 128
     Nr = ((N + r_blk - 1) // r_blk) * r_blk
     pts = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, max(Np, Nr) - N), (0, 0)))
@@ -211,7 +209,7 @@ def geo_rpe_fused(
     grid = (B, Nr // r_blk)
     row_spec = pl.BlockSpec((1, r_blk, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, 1, Np), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
-    tab_spec = pl.BlockSpec((T3, D), lambda b, j: (0, 0), memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((T, D), lambda b, j: (0, 0), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _geo_kernel,
