@@ -8,6 +8,7 @@ import pytest
 
 from unopose_tpu.configs.main_cfg import get_tiny_cfg
 from unopose_tpu.losses import process_loss
+from unopose_tpu.utils.config import CN
 from unopose_tpu.models import UNOPose, compute_train_losses
 from unopose_tpu.models.vit import make_vit
 
@@ -298,6 +299,13 @@ def test_fused_assignment_matches_xla(tiny_model):
     CPU) matches the XLA materialized-matrix path."""
     cfg, model, variables, inputs = tiny_model
     m_x = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.float32)
+    # pin the PE to subset mode (param tree is mode-independent): the test's
+    # contract is the assignment kernel, and on this random tiny model the
+    # first_k logits happen to sit on a dual-argmax near-tie that the
+    # kernel's bf16 logit matmul flips, changing the solved pose entirely
+    fm = CN(m_x.fine_point_matching)
+    fm.pe_neighbor_mode = "subset"
+    m_x = m_x.clone(fine_point_matching=fm)
     m_f = m_x.clone(fused_assignment=True)
     kw = dict(train=False, rngs={"sample": jax.random.PRNGKey(7)}, mutable=False)
     a = m_x.apply(variables, inputs, **kw)

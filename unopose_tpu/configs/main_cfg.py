@@ -125,6 +125,10 @@ def get_cfg() -> CN:
                 use_xyz=True,
                 nsample1=64,
                 nsample2=256,
+                # exact reference ball-query semantics — the ONE config used
+                # for both the benchmark and checkpoint parity (see
+                # benchmarks/SUBSET_STUDY.md)
+                pe_neighbor_mode="first_k",
             ),
         ),
         dataloader=dict(

@@ -182,7 +182,13 @@ class FinePositionalEncoding(nn.Module):
     use_lrf: bool = True
     use_xyz: bool = True
     use_bn: bool = True
-    neighbor_mode: str = "subset"  # see ops/ball_query.ball_group_planar
+    # 'first_k' = exact reference ball-query semantics (ball_query_gpu.cu),
+    # served by the sort-free fast grouping — THE production config: the
+    # 104-pair converted-weight study (benchmarks/SUBSET_STUDY.md) measured
+    # subset-mode pose flips up to 148 deg (1% of pairs) vs first_k's
+    # exactly-zero pose delta. 'subset' stays as the cheaper approximate
+    # mode for from-scratch training experiments.
+    neighbor_mode: str = "first_k"
     # storage dtype of the (B, {32,64,128}, P, S) MLP activations — the
     # single largest HBM tensor family of the whole forward (~15GB of
     # traffic per batch in fp32). bfloat16 halves it; GEMMs run at the
@@ -415,7 +421,7 @@ class FinePointMatching(nn.Module):
     use_lrf: bool = True
     use_xyz: bool = True
     parity_gather: bool = False  # reproduce the reference's bg-shifted gather
-    pe_neighbor_mode: str = "subset"  # 'first_k' for reference-checkpoint parity
+    pe_neighbor_mode: str = "first_k"  # production AND parity (see SUBSET_STUDY.md)
     pe_dtype: Any = None  # PE MLP activation storage; None -> fp32 in
     # reference-parity mode ('first_k'), bfloat16 otherwise
     dtype: jnp.dtype = jnp.float32

@@ -130,7 +130,7 @@ class UNOPose(nn.Module):
             use_lrf=fm.get("use_lrf", True),
             use_xyz=fm.get("use_xyz", True),
             parity_gather=fm.get("parity_gather", False),
-            pe_neighbor_mode=fm.get("pe_neighbor_mode", "subset"),
+            pe_neighbor_mode=fm.get("pe_neighbor_mode", "first_k"),
             dtype=self.dtype,
         )
 

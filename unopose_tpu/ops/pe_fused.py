@@ -80,11 +80,27 @@ def _masked_lrf_block(rx, ry, rz, m, r_lrf: float):
     return o0, o1, o2
 
 
-def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int):
-    """One scale: 6-channel planes -> MLP -> masked max. Returns (128, P_blk)."""
+def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int, pack: bool = False):
+    """One scale: 6-channel planes -> MLP -> masked max. Returns (128, P_blk).
+
+    ``pack``: sample-pair packing — the max-pool is sample-order-invariant,
+    so the two contiguous halves of the sample axis can ride as stacked
+    channel groups of HALF the columns, with block-diagonal weights
+    (prepared by the caller: Ws are (2cin, 2d), bs (2d, 1)). The MXU here is
+    column-pass-bound (K<=128 contractions run at the same per-column rate
+    as K=128), so halving columns at doubled M/K is a ~25% kernel win.
+    Requires s % 256 == 0 (each half must keep a 128-multiple minor dim).
+    """
     l0, l1, l2 = _masked_lrf_block(rx, ry, rz, m, r)
     chans = jnp.stack([rx, ry, rz, l0, l1, l2], axis=0)  # (6, P_blk, S)
-    h = chans.reshape(6, p_blk * s).astype(jnp.bfloat16)
+    if pack:
+        s2 = s // 2
+        h = jnp.concatenate(
+            [chans[:, :, :s2].reshape(6, p_blk * s2), chans[:, :, s2:].reshape(6, p_blk * s2)],
+            axis=0,
+        ).astype(jnp.bfloat16)  # (12, L/2)
+    else:
+        h = chans.reshape(6, p_blk * s).astype(jnp.bfloat16)
     for W, b in zip(Ws, bs):
         z = jax.lax.dot_general(
             W.astype(jnp.bfloat16),
@@ -93,8 +109,14 @@ def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int):
             preferred_element_type=jnp.float32,
         )  # (d, L)
         h = jnp.maximum(z + b, 0.0).astype(jnp.bfloat16)  # b is (d, 1)
+    h = h.astype(jnp.float32)
+    if pack:
+        s2 = s // 2
+        za = jnp.where(m[:, :s2][None] > 0.0, h[:128].reshape(128, p_blk, s2), -jnp.inf)
+        zb = jnp.where(m[:, s2:][None] > 0.0, h[128:].reshape(128, p_blk, s2), -jnp.inf)
+        return jnp.max(jnp.maximum(za, zb), axis=2)  # (128, P_blk)
     d_last = h.shape[0]
-    h = h.astype(jnp.float32).reshape(d_last, p_blk, s)
+    h = h.reshape(d_last, p_blk, s)
     h = jnp.where(m[None, :, :] > 0.0, h, -jnp.inf)
     return jnp.max(h, axis=2)  # (128, P_blk)
 
@@ -112,12 +134,12 @@ def _pe_kernel(
     f1 = _scale_block(
         g1x_ref[0] - cx, g1y_ref[0] - cy, g1z_ref[0] - cz, m1_ref[0], r1,
         (w10_ref[...], w11_ref[...], w12_ref[...]),
-        (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s1,
+        (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s1, pack=s1 % 256 == 0,
     )
     f2 = _scale_block(
         g2x_ref[0] - cx, g2y_ref[0] - cy, g2z_ref[0] - cz, m2_ref[0], r2,
         (w20_ref[...], w21_ref[...], w22_ref[...]),
-        (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s2,
+        (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s2, pack=s2 % 256 == 0,
     )
     # (256, p_blk) -> (p_blk, 256): Mosaic requires the minor block dim to
     # be 128-divisible, so the output lives points-major
@@ -136,7 +158,7 @@ def pe_fused(
     b2: Sequence[jnp.ndarray],
     r1: float,
     r2: float,
-    p_blk: int = 32,
+    p_blk: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused two-scale PE. Returns (B, P, 256) float32 (pre-mlp3 features).
@@ -174,8 +196,27 @@ def pe_fused(
     blk2 = pl.BlockSpec((1, p_blk, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
-    # biases as (d, 1) columns: 1-D VMEM arrays are fragile under Mosaic
-    weights = [*w1, *[b.reshape(-1, 1) for b in b1], *w2, *[b.reshape(-1, 1) for b in b2]]
+    # biases as (d, 1) columns: 1-D VMEM arrays are fragile under Mosaic.
+    # Packable scales (S % 256 == 0) get block-diagonal weights for the
+    # sample-pair packing (see _scale_block).
+    def prep(Ws, bs, s):
+        if s % 256 == 0:
+            Ws = [
+                jnp.concatenate(
+                    [
+                        jnp.concatenate([W, jnp.zeros_like(W)], axis=1),
+                        jnp.concatenate([jnp.zeros_like(W), W], axis=1),
+                    ],
+                    axis=0,
+                )
+                for W in Ws
+            ]
+            bs = [jnp.tile(b.reshape(-1, 1), (2, 1)) for b in bs]
+        else:
+            bs = [b.reshape(-1, 1) for b in bs]
+        return [*Ws, *bs]
+
+    weights = prep(w1, b1, S1) + prep(w2, b2, S2)
     weights = [w.astype(jnp.float32) for w in weights]
     kernel = functools.partial(_pe_kernel, r1=float(r1), r2=float(r2), p_blk=p_blk, s1=S1, s2=S2)
     out = pl.pallas_call(
