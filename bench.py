@@ -56,7 +56,13 @@ def main():
 
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}", file=sys.stderr)
     t0 = time.perf_counter()
-    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, inputs, train=False)
+    # jit the init: eager init dispatches thousands of small ops over the
+    # axon relay (~4.5 ms floor each, ~5 min total); one compiled program
+    # runs in seconds and hits the persistent cache on reruns
+    init_fn = jax.jit(lambda inp: model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, inp, train=False))
+    variables = init_fn(inputs)
+    # force execution (block_until_ready does not block on the axon relay)
+    _ = float(jax.tree_util.tree_leaves(variables)[0].reshape(-1)[0])
     print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     @jax.jit

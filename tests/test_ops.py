@@ -432,6 +432,26 @@ def test_two_scale_first_k_fast_matches_exact(rng):
         np.testing.assert_array_equal(np.asarray(ep), np.asarray(fp))
 
 
+def test_first_k_fast_fused_keys_matches_xla(rng):
+    """The Pallas key-production kernel (interpret mode on CPU) yields the
+    SAME grouping as the pure-XLA fast path: same d2 expansion form, same
+    key encoding, so every downstream sort/select/pad is bit-identical."""
+    from unopose_tpu.ops.ball_query import two_scale_group_first_k_fast
+
+    B, N = 2, 512
+    R1, K1, R2, K2 = 0.1, 64, 0.2, 256
+    v = rng.normal(size=(B, N, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts = jnp.asarray((0.5 * v + rng.normal(size=(B, N, 3)) * 2e-3).astype(np.float32))
+
+    ref = jax.jit(lambda p: two_scale_group_first_k_fast(R1, K1, R2, K2, p, fused_keys=False))(pts)
+    got = jax.jit(
+        lambda p: two_scale_group_first_k_fast(R1, K1, R2, K2, p, fused_keys=True, interpret=True)
+    )(pts)
+    for rp, gp in zip((*ref[0], *ref[1]), (*got[0], *got[1])):
+        np.testing.assert_array_equal(np.asarray(rp), np.asarray(gp))
+
+
 def test_ball_group_subset_pallas_matches_xla(rng):
     """The Pallas subset-grouping kernel (interpret mode on CPU) selects
     exactly the same neighbors, distances and validity as the XLA subset

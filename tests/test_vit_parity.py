@@ -111,3 +111,27 @@ def test_flax_vit_matches_hf_dinov2(rng):
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(cls), want[:, 0], atol=2e-4, rtol=1e-3)
+
+
+def test_mha_fused_kernel_matches_einsum(rng):
+    """ops/vit_attn.mha_fused (interpret mode) == the XLA einsum attention,
+    fp32 softmax, across head counts and a non-tile-aligned token count."""
+    from unopose_tpu.ops.vit_attn import mha_fused
+
+    for B, N, H, hd in ((2, 37, 4, 16), (1, 261, 12, 64)):
+        D = H * hd
+        q = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+
+        qh = np.asarray(q).reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        kh = np.asarray(k).reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        vh = np.asarray(v).reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        s = np.einsum("bhnc,bhmc->bhnm", qh, kh) / hd**0.5
+        s = s - s.max(-1, keepdims=True)
+        p = np.exp(s)
+        p = p / p.sum(-1, keepdims=True)
+        want = np.einsum("bhnm,bhmc->bhnc", p, vh).transpose(0, 2, 1, 3).reshape(B, N, D)
+
+        got = np.asarray(mha_fused(q, k, v, H, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -80,7 +80,7 @@ class ViTAE(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, upsample: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, upsample: bool = True, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, H, W, 3) -> dense feature map (B, H, W, out_dim), cls (B, D).
 
         With ``upsample=False`` the (B, 4*grid, 4*grid, out_dim) map is
@@ -89,7 +89,7 @@ class ViTAE(nn.Module):
         traffic than materializing the full-resolution map)."""
         B, H, W, _ = x.shape
         vit = make_vit(self.vit_type, img_size=self.img_size, dtype=self.dtype, name="vit")
-        outs, cls = vit(x)
+        outs, cls = vit(x, train=train)
         npfx = vit.num_prefix_tokens
         outs = [o[:, npfx:, :] for o in outs]
         feat = jnp.concatenate(outs, axis=2) if self.use_pyramid_feat else outs[-1]
@@ -137,8 +137,8 @@ class ViTEncoderOneRef(nn.Module):
             dtype=self.dtype,
         )
 
-    def get_img_feats(self, img: jnp.ndarray, choose: jnp.ndarray) -> jnp.ndarray:
-        low, _ = self.rgb_net(img, upsample=False)
+    def get_img_feats(self, img: jnp.ndarray, choose: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        low, _ = self.rgb_net(img, upsample=False, train=train)
         return bilinear_gather(low, choose, img.shape[1])
 
     def __call__(
@@ -152,6 +152,7 @@ class ViTEncoderOneRef(nn.Module):
         dense_po: Optional[jnp.ndarray] = None,  # precomputed ref cloud (cache path)
         dense_fo: Optional[jnp.ndarray] = None,  # precomputed ref features
         tem1_radius: Optional[jnp.ndarray] = None,  # precomputed ref radius (B,)
+        train: bool = False,
     ):
         dense_pm = pts
 
@@ -161,7 +162,7 @@ class ViTEncoderOneRef(nn.Module):
             # alongside (exact: computed from the full template cloud by
             # encode_template) or recomputed from the subsample (reference
             # fallback, :256-259).
-            dense_fm = self.get_img_feats(rgb, rgb_choose)
+            dense_fm = self.get_img_feats(rgb, rgb_choose, train=train)
             if tem1_radius is not None:
                 radius = tem1_radius
             else:
@@ -177,11 +178,11 @@ class ViTEncoderOneRef(nn.Module):
         dense_pm = dense_pm / r
         tem1_pts = tem1_pts / r
 
-        dense_fm, tem_feat = self.encode_pair(rgb, rgb_choose, tem1_rgb, tem1_choose)
+        dense_fm, tem_feat = self.encode_pair(rgb, rgb_choose, tem1_rgb, tem1_choose, train=train)
         dense_po, dense_fo = sample_pts_feats(tem1_pts, tem_feat, self.npoint)
         return dense_pm, dense_fm, dense_po, dense_fo, radius
 
-    def encode_pair(self, rgb, rgb_choose, tem1_rgb, tem1_choose):
+    def encode_pair(self, rgb, rgb_choose, tem1_rgb, tem1_choose, train: bool = False):
         """Run query + reference crops through the backbone as ONE batched
         forward (the reference runs two sequential ViT passes,
         oneref_feature_extraction.py:248,279) — halves per-call overheads and
@@ -189,7 +190,7 @@ class ViTEncoderOneRef(nn.Module):
         B, P1 = rgb_choose.shape
         P2 = tem1_choose.shape[1]
         imgs = jnp.concatenate([rgb, tem1_rgb], axis=0)
-        low, _ = self.rgb_net(imgs, upsample=False)
+        low, _ = self.rgb_net(imgs, upsample=False, train=train)
         q_feat = bilinear_gather(low[:B], rgb_choose, rgb.shape[1])
         t_feat = bilinear_gather(low[B:], tem1_choose, rgb.shape[1])
         return q_feat, t_feat

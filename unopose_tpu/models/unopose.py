@@ -189,6 +189,7 @@ class UNOPose(nn.Module):
             inputs.get("dense_po"),
             inputs.get("dense_fo"),
             inputs.get("tem1_radius"),
+            train=train,
         )
         dense_fm = dense_fm.astype(self.dtype)
         dense_fo = dense_fo.astype(self.dtype)

@@ -48,6 +48,11 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     init_values: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
+    # inference-only fused attention kernel (ops/vit_attn.py): True on TPU
+    # inference; the XLA einsum path remains for training (the kernel has no
+    # VJP — the frozen backbone still gets differentiated before optax masks
+    # its updates) and CPU tests
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, _=None):
@@ -56,18 +61,23 @@ class ViTBlock(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         B, N, _ = q.shape
         hd = self.dim // self.num_heads
-        q = q.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhnc,bhmc->bhnm", q, k) / hd**0.5
-        if jnp.dtype(self.dtype).itemsize >= 4:
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.fused_attn:
+            from unopose_tpu.ops.vit_attn import mha_fused
+
+            out = mha_fused(q, k, v, self.num_heads)
         else:
-            # bf16 softmax (max-subtracted, so stable): skips two fp32
-            # round-trips of the (2B, 12, 261, 261) score tensor per block;
-            # ~0.8% relative prob noise on a frozen backbone
-            attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmc->bhnc", attn, v).transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+            q = q.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+            attn = jnp.einsum("bhnc,bhmc->bhnm", q, k) / hd**0.5
+            if jnp.dtype(self.dtype).itemsize >= 4:
+                attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            else:
+                # bf16 softmax (max-subtracted, so stable): skips two fp32
+                # round-trips of the (2B, 12, 261, 261) score tensor per block;
+                # ~0.8% relative prob noise on a frozen backbone
+                attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmc->bhnc", attn, v).transpose(0, 2, 1, 3).reshape(B, N, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="attn_proj")(out)
         if self.init_values is not None:
             ls1 = self.param("ls1", nn.initializers.constant(self.init_values), (self.dim,))
@@ -99,6 +109,8 @@ class ViTPyramid(nn.Module):
     reg_tokens: int = 4
     no_embed_class: bool = True
     dtype: jnp.dtype = jnp.float32
+    # None = auto: fused attention kernel on TPU inference (train=False) only
+    fused_attn: Optional[bool] = None
 
     @property
     def grid(self) -> int:
@@ -109,7 +121,7 @@ class ViTPyramid(nn.Module):
         return 1 + self.reg_tokens
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
         B, H, W, _ = x.shape
         g, P, D = self.grid, self.patch_size, self.embed_dim
         assert H == W == self.img_size, (H, W, self.img_size)
@@ -141,6 +153,9 @@ class ViTPyramid(nn.Module):
         # costs a (depth, B, T, D) stack (150MB+ of dynamic-update-slices)
         n = self.depth // 4
         seg_lens = [self.depth - 3 * n] + [n] * 3
+        fused = self.fused_attn
+        if fused is None:
+            fused = (not train) and jax.devices()[0].platform == "tpu"
         outs: List[jnp.ndarray] = []
         for si, seg_len in enumerate(seg_lens):
             Scanned = nn.scan(
@@ -151,7 +166,8 @@ class ViTPyramid(nn.Module):
                 metadata_params={nn.meta.PARTITION_NAME: None},
             )
             tokens, _ = Scanned(
-                D, self.num_heads, self.mlp_ratio, self.init_values, dtype=self.dtype, name=f"blocks{si}"
+                D, self.num_heads, self.mlp_ratio, self.init_values, dtype=self.dtype,
+                fused_attn=fused, name=f"blocks{si}"
             )(tokens, None)
             outs.append(norm(tokens).astype(self.dtype))
         # order shallow -> deep, matching the reference's enumeration order

@@ -172,7 +172,134 @@ def two_scale_group_exact_planar(r1: float, k1: int, r2: float, k2: int, pts: jn
     return gather_planar(x, y, z, idx1), gather_planar(x, y, z, idx2)
 
 
-def two_scale_group_first_k_fast(r1: float, k1: int, r2: float, k2: int, pts: jnp.ndarray, chunks: int = 4):
+def _first_k_keys_pallas(
+    r1: float,
+    r2: float,
+    pts: jnp.ndarray,
+    pts_p: jnp.ndarray,
+    perm: jnp.ndarray,
+    chunks: int,
+    rows: int = 256,
+    interpret: bool = False,
+):
+    """Fused production of the chunked first_k sort keys + counts in VMEM.
+
+    The XLA formulation of ``two_scale_group_first_k_fast`` materializes the
+    (B, N, N) distance matrix in HBM (268 MB at the operating point) and
+    re-reads it for the two radius masks, the per-chunk counts, the
+    first-hit index mins and the key build (~5-7 ms of pure HBM traffic).
+    This kernel streams (rows, W) distance blocks through VMEM and writes
+    only the compact products:
+
+      key   (B, C, N, W) int16 — the 3-level encoded sort key (same encoding
+             as the XLA path: miss / r2-hit / r1-hit, index-descending);
+             CHUNK-major so every store is a natural (rows, W) tile — the
+             (B, N, C, W) layout scattered each store across the C sublane
+             dim and ran 7x slower
+      ccnt  (B, N, C) int32    — per-chunk r2 hit counts
+      aux   (B, N, 4) int32    — [cnt1, first2_orig, first1_orig, 0]
+
+    d2 uses the expansion form x2 - 2 x.y + y2 like ops.geometry.
+    pairwise_sqdist, with the cross term as a HIGHEST-precision fp32 dot —
+    the same MXU decomposition XLA emits, so hit sets are bit-identical to
+    the XLA paths (verified on-chip; a VPU-FMA cross term flipped
+    boundary-ulp hits on 67M-distance batches).
+    """
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, _ = pts.shape
+    C = chunks
+    W = N // C
+    assert N % C == 0 and N % rows == 0, (N, C, rows)
+
+    cand = jnp.moveaxis(pts_p, 1, 2)  # (B, 3, N) planar candidates
+    permv = perm.reshape(C, W).astype(jnp.int32)
+    # centers as (B, N, 1) planar columns: a (rows, 3) block would put the
+    # 3-vector in the lane dim and every broadcast through a relayout
+    cx = pts[..., 0][..., None]
+    cy = pts[..., 1][..., None]
+    cz = pts[..., 2][..., None]
+
+    def kernel(cx_ref, cy_ref, cz_ref, cpts_ref, cand_ref, permv_ref, key_ref, ccnt_ref, aux_ref):
+        x = cx_ref[0]  # (rows, 1)
+        y = cy_ref[0]
+        z = cz_ref[0]
+        cpts = cpts_ref[0]  # (rows, 3) for the MXU cross term
+        cn = (x * x + y * y) + z * z  # (rows, 1)
+        r1sq = r1 * r1
+        r2sq = r2 * r2
+        wiota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+        big = jnp.int32(N)
+        first2 = jnp.full((rows, 1), N, jnp.int32)
+        first1 = jnp.full((rows, 1), N, jnp.int32)
+        cnt1 = jnp.zeros((rows, 1), jnp.int32)
+        ccols = []
+        for c in range(C):
+            px = cand_ref[0, 0:1, c * W : (c + 1) * W]  # (1, W)
+            py = cand_ref[0, 1:2, c * W : (c + 1) * W]
+            pz = cand_ref[0, 2:3, c * W : (c + 1) * W]
+            pn = (px * px + py * py) + pz * pz  # (1, W)
+            xy = jax.lax.dot_general(
+                cpts,
+                cand_ref[0, :, c * W : (c + 1) * W],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (rows, W): bit-matches the XLA pairwise_sqdist cross term
+            d2 = (cn - 2.0 * xy) + pn
+            m2 = d2 < r2sq
+            m1 = d2 < r1sq
+            key = W - wiota + jnp.where(m2, 2 * W, 0) + jnp.where(m1, 4 * W, 0)
+            key_ref[0, c] = key.astype(jnp.int16)
+            ccols.append(jnp.sum(m2.astype(jnp.int32), axis=1, keepdims=True))
+            pv = permv_ref[c : c + 1, :]  # (1, W)
+            first2 = jnp.minimum(first2, jnp.min(jnp.where(m2, pv, big), axis=1, keepdims=True))
+            first1 = jnp.minimum(first1, jnp.min(jnp.where(m1, pv, big), axis=1, keepdims=True))
+            cnt1 = cnt1 + jnp.sum(m1.astype(jnp.int32), axis=1, keepdims=True)
+        ccnt_ref[0] = jnp.concatenate(ccols, axis=1)
+        aux_ref[0] = jnp.concatenate([cnt1, first2, first1, jnp.zeros((rows, 1), jnp.int32)], axis=1)
+
+    grid = (B, N // rows)
+    cspec = lambda: pl.BlockSpec((1, rows, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(kernel),
+        grid=grid,
+        in_specs=[
+            cspec(),
+            cspec(),
+            cspec(),
+            pl.BlockSpec((1, rows, 3), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, W), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, C, rows, W), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, C), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 4), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C, N, W), jnp.int16),
+            jax.ShapeDtypeStruct((B, N, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, N, 4), jnp.int32),
+        ),
+        interpret=interpret,
+    )(cx, cy, cz, pts, cand, permv)
+    return outs
+
+
+def two_scale_group_first_k_fast(
+    r1: float,
+    k1: int,
+    r2: float,
+    k2: int,
+    pts: jnp.ndarray,
+    chunks: int = 4,
+    fused_keys: bool | None = None,
+    interpret: bool = False,
+):
     """Fast EXACT replacement for ``two_scale_group_exact_planar`` when no
     ball overflows its sample budget — which is every realistic cloud at the
     operating point (measured max 145 hits vs k2=256, 49 vs k1=64 on
@@ -216,33 +343,50 @@ def two_scale_group_first_k_fast(r1: float, k1: int, r2: float, k2: int, pts: jn
 
     pts_p = jnp.take(pts, perm, axis=1)
     xp, yp, zp = pts_p[..., 0], pts_p[..., 1], pts_p[..., 2]
-    d2 = pairwise_sqdist(pts, pts_p)  # (B, P, N) columns in permuted order
-    mask2 = d2 < r2 * r2
-    mask1f = d2 < r1 * r1  # full scale-1 mask — shares the d2 pass
 
-    mv = mask2.reshape(B, N, C, W)
-    ccnt = jnp.sum(mv, axis=-1, dtype=jnp.int32)  # (B, N, C)
-    total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
-    cnt1 = jnp.sum(mask1f, axis=-1, dtype=jnp.int32)  # (B, N)
+    if fused_keys is None:
+        fused_keys = jax.devices()[0].platform == "tpu" and N % 256 == 0
 
-    # first hit by ORIGINAL index per scale: masked min against the constant
-    # permutation table (fuses into the mask pass; no gathers)
-    permb = perm[None, None, :]
-    first2_orig = jnp.min(jnp.where(mask2, permb, N), axis=-1)  # (B, N)
-    first1_orig = jnp.min(jnp.where(mask1f, permb, N), axis=-1)  # (B, N)
+    if fused_keys:
+        # ONE VMEM pass produces keys + counts + first-hit mins; the
+        # (B, N, N) distance matrix never touches HBM (see _first_k_keys_pallas)
+        key, ccnt, aux = _first_k_keys_pallas(r1, r2, pts, pts_p, perm, C, interpret=interpret)
+        total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
+        cnt1 = aux[..., 0]
+        first2_orig = aux[..., 1]
+        first1_orig = aux[..., 2]
+    else:
+        d2 = pairwise_sqdist(pts, pts_p)  # (B, P, N) columns in permuted order
+        mask2 = d2 < r2 * r2
+        mask1f = d2 < r1 * r1  # full scale-1 mask — shares the d2 pass
 
-    # per-chunk first-``budget`` hits via a narrow encoded sort. The key
-    # carries a 3-level code — r1-hit (also r2) / r2-only / miss — so the
-    # scale-1 membership bit (computed from the SAME expansion-based d2 as
-    # the reference sort path; recomputing from gathered coords can flip
-    # boundary-distance hits) rides along for free. Slot order within a
-    # chunk is (level, permuted-index) — immaterial for the set.
-    m1v = mask1f.reshape(B, N, C, W)
-    wiota = jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
-    key = (
-        W - wiota + jnp.where(mv, 2 * W, 0) + jnp.where(m1v, 4 * W, 0)
-    ).astype(jnp.int16)  # max 7W = 3584, int16-safe
+        mv = mask2.reshape(B, N, C, W)
+        ccnt = jnp.sum(mv, axis=-1, dtype=jnp.int32)  # (B, N, C)
+        total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
+        cnt1 = jnp.sum(mask1f, axis=-1, dtype=jnp.int32)  # (B, N)
+
+        # first hit by ORIGINAL index per scale: masked min against the constant
+        # permutation table (fuses into the mask pass; no gathers)
+        permb = perm[None, None, :]
+        first2_orig = jnp.min(jnp.where(mask2, permb, N), axis=-1)  # (B, N)
+        first1_orig = jnp.min(jnp.where(mask1f, permb, N), axis=-1)  # (B, N)
+
+        # per-chunk first-``budget`` hits via a narrow encoded sort. The key
+        # carries a 3-level code — r1-hit (also r2) / r2-only / miss — so the
+        # scale-1 membership bit (computed from the SAME expansion-based d2 as
+        # the reference sort path; recomputing from gathered coords can flip
+        # boundary-distance hits) rides along for free. Slot order within a
+        # chunk is (level, permuted-index) — immaterial for the set.
+        m1v = mask1f.reshape(B, N, C, W)
+        wiota = jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
+        key = (
+            W - wiota + jnp.where(mv, 2 * W, 0) + jnp.where(m1v, 4 * W, 0)
+        ).astype(jnp.int16)  # max 7W = 3584, int16-safe
     top = jax.lax.sort(-key, dimension=-1, is_stable=False)[..., :budget]
+    if fused_keys:
+        # kernel emits chunk-major (B, C, N, W); bring the budget slots back
+        # to (B, N, C, budget) for the shared decode (16 MB int16 transpose)
+        top = jnp.moveaxis(top, 1, 2)
     top = (-top).astype(jnp.int32)
     m1slot = top > 4 * W  # (B, N, C, budget)
     validslot = top > 2 * W
