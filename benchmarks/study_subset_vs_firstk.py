@@ -21,6 +21,7 @@ benchmarks/SUBSET_STUDY.md.
 """
 
 import json
+import os
 import os.path as osp
 import sys
 import time
@@ -99,31 +100,42 @@ def main():
     geo_params = convert_geo_embedding({k: v.detach().numpy() for k, v in geo_t.state_dict().items()}, prefix="")
     geo_fm = GeometricStructureEmbedding(hidden_dim=HID, sigma_d=0.2, sigma_a=15, angle_k=3, reduction_a="max")
 
-    def make_cfg(mode, dtype):
+    def make_cfg(mode, dtype, packed=False):
         # parity_gather=True everywhere: the study isolates the neighbor-mode
         # and dtype axes; all configs use the converted-checkpoint gather
         return FinePointMatching(
             nblock=NBLOCK, input_dim=HID, hidden_dim=HID, out_dim=HID, temp=0.1,
             pe_radius1=0.1, pe_radius2=0.2, nsample1=64, nsample2=256, focusing_factor=3,
-            parity_gather=True, pe_neighbor_mode=mode, dtype=dtype,
+            parity_gather=True, pe_neighbor_mode=mode, dtype=dtype, pe_packed=packed,
         )
 
+    # STUDY_SET=packed reruns only the first_k axes incl. the packed path
+    # (scale-1 as multiset weights on scale 2's slots — the round-2
+    # production grouping); the full set reproduces the original study.
+    study_set = os.environ.get("STUDY_SET", "full")
     modes = {
         "faithful": make_cfg("first_k", jnp.float32),
         "subset_fp32": make_cfg("subset", jnp.float32),
         "subset_bf16": make_cfg("subset", jnp.bfloat16),
         "first_k_bf16": make_cfg("first_k", jnp.bfloat16),
+        "first_k_packed": make_cfg("first_k", jnp.bfloat16, packed=None),
     }
     pe_modes = {
         "faithful": FinePositionalEncoding(out_dim=HID, r1=0.1, r2=0.2, nsample1=64, nsample2=256,
-                                           neighbor_mode="first_k"),
+                                           neighbor_mode="first_k", packed=False),
         "subset_fp32": FinePositionalEncoding(out_dim=HID, r1=0.1, r2=0.2, nsample1=64, nsample2=256,
                                               neighbor_mode="subset"),
         "subset_bf16": FinePositionalEncoding(out_dim=HID, r1=0.1, r2=0.2, nsample1=64, nsample2=256,
                                               neighbor_mode="subset", compute_dtype=jnp.bfloat16),
         "first_k_bf16": FinePositionalEncoding(out_dim=HID, r1=0.1, r2=0.2, nsample1=64, nsample2=256,
-                                               neighbor_mode="first_k", compute_dtype=jnp.bfloat16),
+                                               neighbor_mode="first_k", compute_dtype=jnp.bfloat16, packed=False),
+        "first_k_packed": FinePositionalEncoding(out_dim=HID, r1=0.1, r2=0.2, nsample1=64, nsample2=256,
+                                                 neighbor_mode="first_k", compute_dtype=jnp.bfloat16),
     }
+    if study_set == "packed":
+        keep = ("faithful", "first_k_bf16", "first_k_packed")
+        modes = {k: v for k, v in modes.items() if k in keep}
+        pe_modes = {k: v for k, v in pe_modes.items() if k in keep}
 
     pe_fns = {
         name: jax.jit(lambda p2, m=m: m.apply({"params": pe_params, "batch_stats": pe_stats}, p2, train=False))

@@ -347,3 +347,90 @@ def test_template_cache_path_matches_uncached(tiny_model):
         np.testing.assert_allclose(
             np.asarray(out_cached[k]), np.asarray(out_ref[k]), rtol=1e-4, atol=1e-4, err_msg=k
         )
+
+
+def _pe_firstk_reference(variables, pts, kw):
+    """Materialized first_k PE reference: exact groupings + folded-BN MLPs +
+    unmasked max (the pre-packed semantics), ending with mlp3."""
+    from unopose_tpu.models.matching import _folded_scale_planar
+    from unopose_tpu.ops.ball_query import two_scale_group_exact_planar
+    from unopose_tpu.ops.pe_fused import fold_bn
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def folded(name):
+        Ws, bs = [], []
+        for i, d in enumerate((32, 64, 128)):
+            W = params[f"{name}_fc{i}_kernel"]
+            bn = params[f"{name}_bn{i}"]
+            st = stats[f"{name}_bn{i}"]
+            Wf, bf = fold_bn(W, bn["scale"], bn["bias"], st["mean"], st["var"])
+            Ws.append(Wf)
+            bs.append(bf)
+        return Ws, bs
+
+    center = (pts[..., 0], pts[..., 1], pts[..., 2])
+    g1, g2 = two_scale_group_exact_planar(kw["r1"], kw["nsample1"], kw["r2"], kw["nsample2"], pts)
+    f1 = _folded_scale_planar(center, g1, kw["r1"], *folded("mlp1"))
+    f2 = _folded_scale_planar(center, g2, kw["r2"], *folded("mlp2"))
+    feat = jnp.swapaxes(jnp.concatenate([f1, f2], axis=1), 1, 2)
+    return feat @ params["mlp3"]["kernel"] + params["mlp3"]["bias"]
+
+
+def test_fine_pe_firstk_packed_matches_materialized(rng):
+    """The packed first_k inference path (scale-1 as multiset weights on
+    scale 2's slots) matches the materialized exact-grouping reference —
+    both in pure XLA and through the fused Pallas kernel (interpret mode)."""
+    from unopose_tpu.models.matching import FinePositionalEncoding
+
+    # shell cloud: locally planar neighborhoods -> well-defined LRF frames
+    v = rng.normal(size=(2, 512, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts = jnp.asarray((0.5 * v + rng.normal(size=(2, 512, 3)) * 2e-3).astype(np.float32))
+    kw = dict(out_dim=32, r1=0.12, r2=0.24, nsample1=64, nsample2=256, neighbor_mode="first_k")
+    pe_xla = FinePositionalEncoding(fused=False, **kw)
+    variables = pe_xla.init(jax.random.PRNGKey(0), pts, train=False)
+    stats = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.arange(x.size, dtype=x.dtype) / x.size, variables["batch_stats"]
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(_pe_firstk_reference(variables, pts, kw))
+    got_xla = np.asarray(pe_xla.apply(variables, pts, train=False))
+    # the multiset is identical (oracle-tested in test_ops); features differ
+    # only through summation ORDER of the LRF moments. Neighborhoods with a
+    # degenerate frame (symmetric caps: tied sign vote / ~zero in-plane v)
+    # amplify those ulps into an arbitrary-frame flip — the reference's own
+    # frame is equally arbitrary there — so compare per-point quantiles.
+    err = np.abs(got_xla - want).max(-1)
+    assert np.median(err) < 1e-5, np.median(err)
+    assert np.quantile(err, 0.95) < 2e-4, np.quantile(err, 0.95)
+
+    pe_fus = FinePositionalEncoding(fused=True, **kw)
+    got_fus = np.asarray(pe_fus.apply(variables, pts, train=False))
+    # fused kernel computes MLP contractions in bf16 (matches TPU XLA
+    # effective precision); compare against the XLA packed path loosely
+    errf = np.abs(got_fus - want).max(-1)
+    assert np.median(errf) < 2e-2, np.median(errf)
+    assert np.quantile(errf, 0.95) < 8e-2, np.quantile(errf, 0.95)
+
+
+def test_fine_pe_firstk_packed_overflow_branch(rng):
+    """A dense degenerate cloud overflows every budget: the packed path must
+    take the exact-path cond branch and still match the reference."""
+    from unopose_tpu.models.matching import FinePositionalEncoding
+
+    pts = jnp.asarray(rng.uniform(-0.05, 0.05, size=(1, 512, 3)).astype(np.float32))
+    kw = dict(out_dim=16, r1=0.5, r2=1.0, nsample1=64, nsample2=256, neighbor_mode="first_k")
+    pe = FinePositionalEncoding(fused=False, **kw)
+    variables = pe.init(jax.random.PRNGKey(0), pts, train=False)
+
+    from unopose_tpu.ops.ball_query import two_scale_group_first_k_packed
+
+    _, _, overflow = two_scale_group_first_k_packed(kw["r1"], 64, kw["r2"], 256, pts)
+    assert bool(overflow)
+
+    want = np.asarray(_pe_firstk_reference(variables, pts, kw))
+    got = np.asarray(pe.apply(variables, pts, train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)

@@ -478,3 +478,59 @@ def test_ball_group_subset_pallas_matches_xla(rng):
                 if len(picks):
                     d = np.linalg.norm(picks - ctr[b, p], axis=-1)
                     assert (d < 0.7).all()
+
+
+def test_first_k_packed_weights_match_oracle(rng):
+    """two_scale_group_first_k_packed's per-slot weights reproduce the exact
+    reference scale-1 MULTISET: {first <=k1 r1 hits by original index} +
+    (k1-cnt1) duplicates of the scan-first r1 hit. Verified against a numpy
+    oracle on the slot coordinates (order-free multiset comparison of
+    weighted moment sums)."""
+    from unopose_tpu.ops.ball_query import two_scale_group_first_k_packed
+
+    B, N = 2, 512
+    R1, K1, R2, K2 = 0.12, 64, 0.24, 256
+    v = rng.normal(size=(B, N, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts_np = (0.5 * v + rng.normal(size=(B, N, 3)) * 2e-3).astype(np.float32)
+    pts = jnp.asarray(pts_np)
+
+    g2, w1, overflow = jax.jit(
+        lambda p: two_scale_group_first_k_packed(R1, K1, R2, K2, p)
+    )(pts)
+    assert not bool(overflow)
+    w1 = np.asarray(w1)
+    gx, gy, gz = (np.asarray(g) for g in g2)
+
+    # numpy oracle: reference CUDA semantics per row
+    d2 = ((pts_np[:, :, None, :] - pts_np[:, None, :, :]) ** 2).sum(-1)
+    m1 = d2 < R1 * R1
+    for b in range(B):
+        for n in range(0, N, 37):
+            hits = np.nonzero(m1[b, n])[0]
+            assert 1 <= len(hits) <= K1
+            # reference multiset: hits + (K1 - cnt) x first hit
+            ref_pts = pts_np[b, hits]
+            ref_multiset = np.concatenate(
+                [ref_pts, np.repeat(ref_pts[:1], K1 - len(hits), axis=0)], axis=0
+            )
+            got_w = w1[b, n]
+            assert got_w.sum() == K1
+            # weighted moment comparison (order-free multiset equality)
+            got = np.stack([gx[b, n], gy[b, n], gz[b, n]], -1)
+            for mom in (lambda p: p, lambda p: p**2, lambda p: p**3):
+                np.testing.assert_allclose(
+                    (mom(got) * got_w[:, None]).sum(0), mom(ref_multiset).sum(0), rtol=1e-4, atol=1e-6
+                )
+
+
+def test_first_k_packed_overflow_flag(rng):
+    """A degenerate cloud (all points inside every ball) must raise the
+    packed path's overflow flag so the consumer branches to the exact path."""
+    from unopose_tpu.ops.ball_query import two_scale_group_first_k_packed
+
+    pts = jnp.asarray(rng.uniform(-0.01, 0.01, size=(1, 512, 3)).astype(np.float32))
+    _, _, overflow = jax.jit(
+        lambda p: two_scale_group_first_k_packed(0.5, 64, 1.0, 256, p)
+    )(pts)
+    assert bool(overflow)

@@ -139,10 +139,10 @@ class _BNVars(nn.Module):
         return scale, bias, mean.value, var.value
 
 
-def pe_fused_path(m: "FinePositionalEncoding", g1, valid1, g2, valid2, center, interpret: bool):
-    """Invoke the fused PE kernel (ops/pe_fused.py), declaring the identical
-    parameter/batch_stats tree as the XLA path (folded inference BN)."""
-    from unopose_tpu.ops.pe_fused import fold_bn, pe_fused
+def _pe_folded_params(m: "FinePositionalEncoding"):
+    """Declare the PE MLP/BN parameter tree (identical names to the XLA
+    path) and return inference-folded (Ws, bs) per scale."""
+    from unopose_tpu.ops.pe_fused import fold_bn
 
     folded = {}
     for name in ("mlp1", "mlp2"):
@@ -155,13 +155,79 @@ def pe_fused_path(m: "FinePositionalEncoding", g1, valid1, g2, valid2, center, i
             Ws.append(Wf)
             bs.append(bf)
             cin = d
+    # (both scales declared before returning so init order is stable)
         folded[name] = (Ws, bs)
+    return folded
+
+
+def pe_fused_path(m: "FinePositionalEncoding", g1, valid1, g2, valid2, center, interpret: bool):
+    """Invoke the fused PE kernel (ops/pe_fused.py), declaring the identical
+    parameter/batch_stats tree as the XLA path (folded inference BN)."""
+    from unopose_tpu.ops.pe_fused import pe_fused
+
+    folded = _pe_folded_params(m)
     return pe_fused(
         g1, valid1, g2, valid2, center,
         *folded["mlp1"], *folded["mlp2"],
         m.r1, m.r2,
         interpret=interpret,
     )  # (B, P, 256) points-major
+
+
+def _folded_scale_planar(center, grouped, r, Ws, bs, lrf_w=None, pool_mask=None):
+    """Pure XLA inference MLP over one PE scale with folded-BN weights
+    (cond-branch safe: no module calls). ``lrf_w`` optionally weights the
+    LRF moment/vote sums by multiset multiplicity; ``pool_mask`` restricts
+    the max-pool. Returns (B, d_last, P) float32."""
+    x, y, z = center
+    rel = tuple(g - c[..., None] for g, c in zip(grouped, (x, y, z)))
+    lrf = batch_lrf_planar(center, grouped, r, mask=lrf_w)
+    h = jnp.stack([*rel, *lrf], axis=1).astype(jnp.float32)  # (B, 6, P, S)
+    for W, b in zip(Ws, bs):
+        h = jnp.einsum("bcps,cd->bdps", h, W) + b[None, :, None, None]
+        h = nn.relu(h)
+    if pool_mask is not None:
+        h = jnp.where(pool_mask[:, None, :, :], h, -jnp.inf)
+    return jnp.max(h, axis=3)
+
+
+def pe_packed_firstk_path(m: "FinePositionalEncoding", pts, center, use_kernel: bool, on_tpu: bool):
+    """first_k inference via the PACKED grouping: scale 2's compacted slots +
+    scale-1 multiset weights (ops/ball_query.two_scale_group_first_k_packed)
+    — the separate scale-1 materialization and its k2-wide sort disappear.
+    Overflow (any chunk budget / total2 > k2 / cnt1 > k1) branches to the
+    exact reference sort path at the FEATURE level (a grouping-level
+    fallback cannot express scale 1's independent truncation, which may
+    keep r1 hits outside scale 2's kept slots)."""
+    from unopose_tpu.ops.ball_query import (
+        two_scale_group_exact_planar,
+        two_scale_group_first_k_packed,
+    )
+    from unopose_tpu.ops.pe_fused import pe_fused_packed
+
+    folded = _pe_folded_params(m)
+    g2, w1, overflow = two_scale_group_first_k_packed(
+        m.r1, m.nsample1, m.r2, m.nsample2, pts
+    )
+
+    def fast(pts):
+        if use_kernel:
+            return pe_fused_packed(
+                g2, w1, center,
+                *folded["mlp1"], *folded["mlp2"],
+                m.r1, m.r2, interpret=not on_tpu,
+            )
+        f1 = _folded_scale_planar(center, g2, m.r1, *folded["mlp1"], lrf_w=w1, pool_mask=w1 > 0)
+        f2 = _folded_scale_planar(center, g2, m.r2, *folded["mlp2"])
+        return jnp.swapaxes(jnp.concatenate([f1, f2], axis=1), 1, 2)
+
+    def slow(pts):
+        g1e, g2e = two_scale_group_exact_planar(m.r1, m.nsample1, m.r2, m.nsample2, pts)
+        f1 = _folded_scale_planar(center, g1e, m.r1, *folded["mlp1"])
+        f2 = _folded_scale_planar(center, g2e, m.r2, *folded["mlp2"])
+        return jnp.swapaxes(jnp.concatenate([f1, f2], axis=1), 1, 2)
+
+    return jax.lax.cond(overflow, slow, fast, pts)
 
 
 class FinePositionalEncoding(nn.Module):
@@ -201,6 +267,10 @@ class FinePositionalEncoding(nn.Module):
     # fused-kernel override: None = auto (Pallas kernel on TPU inference),
     # True/False forces (True uses interpret mode off-TPU — for tests)
     fused: Any = None
+    # packed first_k inference path (scale-1 as multiset weights on scale 2's
+    # compacted slots): None/True = use when shapes allow; False forces the
+    # materialized two-sort path (comparison studies / debugging)
+    packed: Any = None
 
     @property
     def _cdt(self):
@@ -284,6 +354,28 @@ class FinePositionalEncoding(nn.Module):
             )
 
             N = pts.shape[1]
+            on_tpu_fk = jax.default_backend() == "tpu"
+            packed_ok = (
+                not train
+                and self.packed is not False
+                and self.use_bn
+                and self.use_lrf
+                and self.use_xyz
+                and N % 4 == 0
+                and N % 64 == 0
+                and N <= 4096
+                and N >= self.nsample2  # chunked budget select needs N >= k2
+                and self.nsample2 % 256 == 0
+                and self.nsample2 % 4 == 0
+            )
+            if packed_ok:
+                # packed inference path: no scale-1 materialization/sort
+                feat = pe_packed_firstk_path(
+                    self, pts, center,
+                    use_kernel=(self.fused if self.fused is not None else on_tpu_fk),
+                    on_tpu=on_tpu_fk,
+                )
+                return nn.Dense(self.out_dim, dtype=jnp.float32, name="mlp3")(feat)
             if N % 4 == 0 and self.nsample2 % 4 == 0:
                 g1, g2 = two_scale_group_first_k_fast(
                     self.r1, self.nsample1, self.r2, self.nsample2, pts
@@ -294,7 +386,6 @@ class FinePositionalEncoding(nn.Module):
                 )
             g1 = tuple(checkpoint_name(g, "pe_grouped") for g in g1)
             g2 = tuple(checkpoint_name(g, "pe_grouped") for g in g2)
-            on_tpu_fk = jax.default_backend() == "tpu"
             use_fused_fk = (
                 not train
                 and self.use_bn
@@ -424,6 +515,8 @@ class FinePointMatching(nn.Module):
     pe_neighbor_mode: str = "first_k"  # production AND parity (see SUBSET_STUDY.md)
     pe_dtype: Any = None  # PE MLP activation storage; None -> fp32 in
     # reference-parity mode ('first_k'), bfloat16 otherwise
+    pe_packed: Any = None  # packed first_k inference path; False forces
+    # the materialized two-sort path (comparison studies)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -458,6 +551,7 @@ class FinePointMatching(nn.Module):
             use_xyz=self.use_xyz,
             neighbor_mode=self.pe_neighbor_mode,
             compute_dtype=pe_dtype,
+            packed=self.pe_packed,
             name="pe",
         )
         in_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")

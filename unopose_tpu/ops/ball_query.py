@@ -197,13 +197,25 @@ def _first_k_keys_pallas(
              (B, N, C, W) layout scattered each store across the C sublane
              dim and ran 7x slower
       ccnt  (B, N, C) int32    — per-chunk r2 hit counts
-      aux   (B, N, 4) int32    — [cnt1, first2_orig, first1_orig, 0]
+      aux   (B, N, 4) int32    — [cnt1, first2_orig, enc1, 0] where enc1 =
+             first1_orig * 4096 + first1_permuted_pos (min over r1 hits of
+             the original index, with the permuted position riding along —
+             ties impossible since original indices are unique)
 
     d2 uses the expansion form x2 - 2 x.y + y2 like ops.geometry.
-    pairwise_sqdist, with the cross term as a HIGHEST-precision fp32 dot —
-    the same MXU decomposition XLA emits, so hit sets are bit-identical to
-    the XLA paths (verified on-chip; a VPU-FMA cross term flipped
-    boundary-ulp hits on 67M-distance batches).
+    pairwise_sqdist, with the cross term as a manual bf16x3 3-pass dot
+    (x = xh + xl, xl <= 2^-9 |x|; xy = xh.yh + xh.yl + xl.yh — Mosaic has
+    no Precision.HIGH). Rationale: on TPU nothing external needs this d2
+    bitwise — the CPU parity tests run interpret mode (which uses an exact
+    fp32 dot, see below) and the overflow fallback recomputes its own
+    masks — so internal consistency (m1/m2/counts from ONE d2 pass)
+    suffices. The missing xl.yl term is ~2^-18 relative: on LRF-normalized
+    clouds (|p| <= ~1.2, r1 >= 0.1) it only flips hits within a ~1e-4
+    relative band of the ball boundary — the 104-pair converted-weight
+    study (benchmarks/SUBSET_STUDY.md) gates that this has zero pose
+    effect. HIGHEST (6-pass) cost ~2x the kernel MXU time. (A DEFAULT
+    bf16 cross term is NOT safe: catastrophic cancellation, see
+    ops/geometry.py.)
     """
     import functools
 
@@ -213,7 +225,7 @@ def _first_k_keys_pallas(
     B, N, _ = pts.shape
     C = chunks
     W = N // C
-    assert N % C == 0 and N % rows == 0, (N, C, rows)
+    assert N % C == 0 and N % rows == 0 and N <= 4096, (N, C, rows)
 
     cand = jnp.moveaxis(pts_p, 1, 2)  # (B, 3, N) planar candidates
     permv = perm.reshape(C, W).astype(jnp.int32)
@@ -228,13 +240,19 @@ def _first_k_keys_pallas(
         y = cy_ref[0]
         z = cz_ref[0]
         cpts = cpts_ref[0]  # (rows, 3) for the MXU cross term
+        # manual bf16x3 split of the centers (Mosaic has no Precision.HIGH):
+        # x = xh + xl with xl <= 2^-9 |x|, so the 3-dot cross term's missing
+        # xl*yl part is ~2^-18 relative — fp32-grade (see docstring)
+        cpts_h = cpts.astype(jnp.bfloat16)
+        cpts_l = (cpts - cpts_h.astype(jnp.float32)).astype(jnp.bfloat16)
         cn = (x * x + y * y) + z * z  # (rows, 1)
         r1sq = r1 * r1
         r2sq = r2 * r2
         wiota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
         big = jnp.int32(N)
+        big_enc = jnp.int32(N * 4096)
         first2 = jnp.full((rows, 1), N, jnp.int32)
-        first1 = jnp.full((rows, 1), N, jnp.int32)
+        enc1 = jnp.full((rows, 1), N * 4096, jnp.int32)
         cnt1 = jnp.zeros((rows, 1), jnp.int32)
         ccols = []
         for c in range(C):
@@ -242,13 +260,26 @@ def _first_k_keys_pallas(
             py = cand_ref[0, 1:2, c * W : (c + 1) * W]
             pz = cand_ref[0, 2:3, c * W : (c + 1) * W]
             pn = (px * px + py * py) + pz * pz  # (1, W)
-            xy = jax.lax.dot_general(
-                cpts,
-                cand_ref[0, :, c * W : (c + 1) * W],
+            cnd = cand_ref[0, :, c * W : (c + 1) * W]  # (3, W) fp32
+            dotg = lambda a, b, prec: jax.lax.dot_general(
+                a, b,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
-            )  # (rows, W): bit-matches the XLA pairwise_sqdist cross term
+                precision=prec,
+            )
+            if interpret:
+                # CPU tests: exact fp32 dot, bitwise-matching the XLA path
+                xy = dotg(cpts, cnd, jax.lax.Precision.HIGHEST)
+            else:
+                # 3-pass bf16x3 cross term (error ~2^-18 rel; see docstring).
+                # DEFAULT precision on bf16 operands = native bf16 MXU pass
+                # with fp32 accumulate (Mosaic rejects HIGHEST on bf16 lhs).
+                cnd_h = cnd.astype(jnp.bfloat16)
+                cnd_l = (cnd - cnd_h.astype(jnp.float32)).astype(jnp.bfloat16)
+                prec = jax.lax.Precision.DEFAULT
+                xy = dotg(cpts_h, cnd_h, prec) + (
+                    dotg(cpts_h, cnd_l, prec) + dotg(cpts_l, cnd_h, prec)
+                )
             d2 = (cn - 2.0 * xy) + pn
             m2 = d2 < r2sq
             m1 = d2 < r1sq
@@ -256,11 +287,12 @@ def _first_k_keys_pallas(
             key_ref[0, c] = key.astype(jnp.int16)
             ccols.append(jnp.sum(m2.astype(jnp.int32), axis=1, keepdims=True))
             pv = permv_ref[c : c + 1, :]  # (1, W)
+            pv_enc = pv * 4096 + (c * W + wiota)  # (rows, W) orig*4096 + permpos
             first2 = jnp.minimum(first2, jnp.min(jnp.where(m2, pv, big), axis=1, keepdims=True))
-            first1 = jnp.minimum(first1, jnp.min(jnp.where(m1, pv, big), axis=1, keepdims=True))
+            enc1 = jnp.minimum(enc1, jnp.min(jnp.where(m1, pv_enc, big_enc), axis=1, keepdims=True))
             cnt1 = cnt1 + jnp.sum(m1.astype(jnp.int32), axis=1, keepdims=True)
         ccnt_ref[0] = jnp.concatenate(ccols, axis=1)
-        aux_ref[0] = jnp.concatenate([cnt1, first2, first1, jnp.zeros((rows, 1), jnp.int32)], axis=1)
+        aux_ref[0] = jnp.concatenate([cnt1, first2, enc1, jnp.zeros((rows, 1), jnp.int32)], axis=1)
 
     grid = (B, N // rows)
     cspec = lambda: pl.BlockSpec((1, rows, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
@@ -288,6 +320,158 @@ def _first_k_keys_pallas(
         interpret=interpret,
     )(cx, cy, cz, pts, cand, permv)
     return outs
+
+
+def _first_k_budget_select(
+    r1: float,
+    k1: int,
+    r2: float,
+    k2: int,
+    pts: jnp.ndarray,
+    chunks: int,
+    fused_keys: bool | None,
+    interpret: bool,
+):
+    """Shared keys -> budget sort -> decode -> pad fill -> g2 gather of the
+    sort-free first_k groupings. Returns a dict with the scale-2 grouping and
+    everything the scale-1 consumers (materialized or packed) need."""
+    from unopose_tpu.ops.gather_pallas import gather_planar
+
+    pts = pts.astype(jnp.float32)
+    B, N, _ = pts.shape
+    C = chunks
+    W = N // C
+    budget = k2 // C
+    assert N % C == 0 and k2 % C == 0 and r1 < r2 and k1 <= k2 and N <= 4096, (N, C, k2, r1, r2)
+    assert budget <= W, f"chunked budget select needs N >= k2 (N={N}, k2={k2})"
+
+    # same fixed decorrelating permutation as the subset kernels
+    perm_np = np.random.default_rng(20240613).permutation(N).astype(np.int32)
+    inv_perm_np = np.empty_like(perm_np)
+    inv_perm_np[perm_np] = np.arange(N, dtype=np.int32)
+    perm = jnp.asarray(perm_np)
+    inv_perm = jnp.asarray(inv_perm_np)
+
+    pts_p = jnp.take(pts, perm, axis=1)
+    xp, yp, zp = pts_p[..., 0], pts_p[..., 1], pts_p[..., 2]
+
+    if fused_keys is None:
+        fused_keys = jax.devices()[0].platform == "tpu" and N % 256 == 0
+
+    if fused_keys:
+        # ONE VMEM pass produces keys + counts + first-hit mins; the
+        # (B, N, N) distance matrix never touches HBM (see _first_k_keys_pallas)
+        key, ccnt, aux = _first_k_keys_pallas(r1, r2, pts, pts_p, perm, C, interpret=interpret)
+        total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
+        cnt1 = aux[..., 0]
+        first2_orig = aux[..., 1]
+        enc1 = aux[..., 2]
+    else:
+        d2 = pairwise_sqdist(pts, pts_p)  # (B, P, N) columns in permuted order
+        mask2 = d2 < r2 * r2
+        mask1f = d2 < r1 * r1  # full scale-1 mask — shares the d2 pass
+
+        mv = mask2.reshape(B, N, C, W)
+        ccnt = jnp.sum(mv, axis=-1, dtype=jnp.int32)  # (B, N, C)
+        total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
+        cnt1 = jnp.sum(mask1f, axis=-1, dtype=jnp.int32)  # (B, N)
+
+        # first hit by ORIGINAL index per scale: masked min against the constant
+        # permutation table (fuses into the mask pass; no gathers). Scale 1
+        # carries the permuted position in the low bits (enc = orig*4096 + pos)
+        permb = perm[None, None, :]
+        posb = jnp.arange(N, dtype=jnp.int32)[None, None, :]
+        first2_orig = jnp.min(jnp.where(mask2, permb, N), axis=-1)  # (B, N)
+        enc1 = jnp.min(jnp.where(mask1f, permb * 4096 + posb, N * 4096), axis=-1)
+
+        # per-chunk first-``budget`` hits via a narrow encoded sort. The key
+        # carries a 3-level code — r1-hit (also r2) / r2-only / miss — so the
+        # scale-1 membership bit (computed from the SAME expansion-based d2 as
+        # the reference sort path; recomputing from gathered coords can flip
+        # boundary-distance hits) rides along for free. Slot order within a
+        # chunk is (level, permuted-index) — immaterial for the set.
+        m1v = mask1f.reshape(B, N, C, W)
+        wiota = jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
+        key = (
+            W - wiota + jnp.where(mv, 2 * W, 0) + jnp.where(m1v, 4 * W, 0)
+        ).astype(jnp.int16)  # max 7W = 3584, int16-safe
+    top = jax.lax.sort(-key, dimension=-1, is_stable=False)[..., :budget]
+    if fused_keys:
+        # kernel emits chunk-major (B, C, N, W); bring the budget slots back
+        # to (B, N, C, budget) for the shared decode (16 MB int16 transpose)
+        top = jnp.moveaxis(top, 1, 2)
+    top = (-top).astype(jnp.int32)
+    m1slot = top > 4 * W  # (B, N, C, budget)
+    validslot = top > 2 * W
+    w = W - (top - jnp.where(validslot, 2 * W, 0) - jnp.where(m1slot, 4 * W, 0))
+    idx_p = (jnp.arange(C, dtype=jnp.int32)[None, None, :, None] * W + w).reshape(B, N, k2)
+    validslot = validslot.reshape(B, N, k2)
+    m1slot = m1slot.reshape(B, N, k2)
+
+    # pad with the first-by-original-index hit (CUDA reference padding);
+    # zero-hit rows keep original point 0
+    q_first = jnp.take(inv_perm, jnp.where(total2 > 0, first2_orig, 0), axis=0)  # (B, N)
+    idx_p = jnp.where(validslot, idx_p, q_first[..., None])
+
+    g2 = gather_planar(xp, yp, zp, idx_p)  # three (B, N, k2)
+
+    overflow = jnp.any(ccnt > budget) | jnp.any(total2 > k2) | jnp.any(cnt1 > k1)
+    return dict(
+        g2=g2,
+        idx_p=idx_p,
+        validslot=validslot,
+        m1slot=m1slot,
+        cnt1=cnt1,
+        enc1=enc1,
+        overflow=overflow,
+        xp=xp,
+        yp=yp,
+        zp=zp,
+        inv_perm=inv_perm,
+    )
+
+
+def two_scale_group_first_k_packed(
+    r1: float,
+    k1: int,
+    r2: float,
+    k2: int,
+    pts: jnp.ndarray,
+    chunks: int = 4,
+    fused_keys: bool | None = None,
+    interpret: bool = False,
+):
+    """Packed EXACT first_k grouping: scale 2's compacted slots plus scale-1
+    MULTISET WEIGHTS — no separate scale-1 materialization or k2-wide sort.
+
+    Reference semantics (ball_query_gpu.cu:14-49): each scale keeps the first
+    <= k in-radius points by original index, padding empty slots with the
+    first hit. The PE consumer (per-neighborhood LRF moments/votes + shared
+    MLP max-pool) is slot-order-invariant, so each scale is fully determined
+    by its neighbor MULTISET:
+
+      scale 2: {r2 hits} + (k2 - cnt2) x first2    -> materialized (pad fill)
+      scale 1: {r1 hits} + (k1 - cnt1) x first1    -> r1 hits are a subset of
+               scale 2's slots (r1 < r2, no overflow), so express it as
+               per-slot weights on scale 2's gather:
+               w1 = m1 + (slot == first1) * (k1 - cnt1)
+
+    The self point is always an r1 hit (d2 = 0), so cnt1 >= 1 and the
+    zero-hit pad rule never fires. Returns (g2 (3 x (B, N, k2) pad-filled
+    planes), w1 (B, N, k2) float32, overflow bool). On overflow (chunk budget
+    exceeded / total2 > k2 / cnt1 > k1) THE FAST OUTPUTS ARE INVALID — the
+    caller must branch to two_scale_group_exact_planar-based computation
+    (a grouping-level fallback cannot express scale 1's independent
+    truncation, which may select r1 hits outside scale 2's kept slots).
+    """
+    sel = _first_k_budget_select(r1, k1, r2, k2, pts, chunks, fused_keys, interpret)
+    first1_pp = sel["enc1"] & 4095  # permuted position of the scan-first r1 hit
+    npads1 = (k1 - sel["cnt1"]).astype(jnp.float32)  # >= 0 when not overflowed
+    bump = (sel["idx_p"] == first1_pp[..., None]).astype(jnp.float32) * npads1[..., None]
+    # m1slot gating: pad slots duplicate first2's position, which can collide
+    # with first1_pp when first1 == first2 — pads carry m1slot == False
+    w1 = jnp.where(sel["m1slot"], 1.0 + bump, 0.0)
+    return sel["g2"], w1, sel["overflow"]
 
 
 def two_scale_group_first_k_fast(
@@ -329,82 +513,15 @@ def two_scale_group_first_k_fast(
 
     pts = pts.astype(jnp.float32)
     B, N, _ = pts.shape
-    C = chunks
-    W = N // C
-    budget = k2 // C
-    assert N % C == 0 and k2 % C == 0 and r1 < r2 and k1 <= k2, (N, C, k2, r1, r2)
-
-    # same fixed decorrelating permutation as the subset kernels
-    perm_np = np.random.default_rng(20240613).permutation(N).astype(np.int32)
-    inv_perm_np = np.empty_like(perm_np)
-    inv_perm_np[perm_np] = np.arange(N, dtype=np.int32)
-    perm = jnp.asarray(perm_np)
-    inv_perm = jnp.asarray(inv_perm_np)
-
-    pts_p = jnp.take(pts, perm, axis=1)
-    xp, yp, zp = pts_p[..., 0], pts_p[..., 1], pts_p[..., 2]
-
-    if fused_keys is None:
-        fused_keys = jax.devices()[0].platform == "tpu" and N % 256 == 0
-
-    if fused_keys:
-        # ONE VMEM pass produces keys + counts + first-hit mins; the
-        # (B, N, N) distance matrix never touches HBM (see _first_k_keys_pallas)
-        key, ccnt, aux = _first_k_keys_pallas(r1, r2, pts, pts_p, perm, C, interpret=interpret)
-        total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
-        cnt1 = aux[..., 0]
-        first2_orig = aux[..., 1]
-        first1_orig = aux[..., 2]
-    else:
-        d2 = pairwise_sqdist(pts, pts_p)  # (B, P, N) columns in permuted order
-        mask2 = d2 < r2 * r2
-        mask1f = d2 < r1 * r1  # full scale-1 mask — shares the d2 pass
-
-        mv = mask2.reshape(B, N, C, W)
-        ccnt = jnp.sum(mv, axis=-1, dtype=jnp.int32)  # (B, N, C)
-        total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
-        cnt1 = jnp.sum(mask1f, axis=-1, dtype=jnp.int32)  # (B, N)
-
-        # first hit by ORIGINAL index per scale: masked min against the constant
-        # permutation table (fuses into the mask pass; no gathers)
-        permb = perm[None, None, :]
-        first2_orig = jnp.min(jnp.where(mask2, permb, N), axis=-1)  # (B, N)
-        first1_orig = jnp.min(jnp.where(mask1f, permb, N), axis=-1)  # (B, N)
-
-        # per-chunk first-``budget`` hits via a narrow encoded sort. The key
-        # carries a 3-level code — r1-hit (also r2) / r2-only / miss — so the
-        # scale-1 membership bit (computed from the SAME expansion-based d2 as
-        # the reference sort path; recomputing from gathered coords can flip
-        # boundary-distance hits) rides along for free. Slot order within a
-        # chunk is (level, permuted-index) — immaterial for the set.
-        m1v = mask1f.reshape(B, N, C, W)
-        wiota = jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
-        key = (
-            W - wiota + jnp.where(mv, 2 * W, 0) + jnp.where(m1v, 4 * W, 0)
-        ).astype(jnp.int16)  # max 7W = 3584, int16-safe
-    top = jax.lax.sort(-key, dimension=-1, is_stable=False)[..., :budget]
-    if fused_keys:
-        # kernel emits chunk-major (B, C, N, W); bring the budget slots back
-        # to (B, N, C, budget) for the shared decode (16 MB int16 transpose)
-        top = jnp.moveaxis(top, 1, 2)
-    top = (-top).astype(jnp.int32)
-    m1slot = top > 4 * W  # (B, N, C, budget)
-    validslot = top > 2 * W
-    w = W - (top - jnp.where(validslot, 2 * W, 0) - jnp.where(m1slot, 4 * W, 0))
-    idx_p = (jnp.arange(C, dtype=jnp.int32)[None, None, :, None] * W + w).reshape(B, N, k2)
-    validslot = validslot.reshape(B, N, k2)
-    m1slot = m1slot.reshape(B, N, k2)
-
-    # pad with the first-by-original-index hit (CUDA reference padding);
-    # zero-hit rows keep original point 0
-    q_first = jnp.take(inv_perm, jnp.where(total2 > 0, first2_orig, 0), axis=0)  # (B, N)
-    idx_p = jnp.where(validslot, idx_p, q_first[..., None])
-
-    g2 = gather_planar(xp, yp, zp, idx_p)  # three (B, N, k2)
+    sel = _first_k_budget_select(r1, k1, r2, k2, pts, chunks, fused_keys, interpret)
+    g2 = sel["g2"]
+    cnt1 = sel["cnt1"]
+    first1_orig = sel["enc1"] >> 12
+    xp, yp, zp, inv_perm = sel["xp"], sel["yp"], sel["zp"], sel["inv_perm"]
 
     # ---- scale 1 from scale 2's slots (exact: r1-hits are a subset of the
     # FULL r2 hit set when nothing overflowed)
-    mask1 = m1slot  # carried bit: expansion-d2 membership, pads excluded
+    mask1 = sel["m1slot"]  # carried bit: expansion-d2 membership, pads excluded
 
     siota = jnp.arange(k2, dtype=jnp.int32)[None, None, :]
     key1 = jnp.where(mask1, 2 * k2 - siota, k2 - siota).astype(jnp.int16)
@@ -423,9 +540,7 @@ def two_scale_group_first_k_fast(
     g1y = jnp.where(valid1, g1y, p1y)
     g1z = jnp.where(valid1, g1z, p1z)
 
-    overflow = (
-        jnp.any(ccnt > budget) | jnp.any(total2 > k2) | jnp.any(cnt1 > k1)
-    )
+    overflow = sel["overflow"]
 
     def fallback(_):
         return two_scale_group_exact_planar(r1, k1, r2, k2, pts)

@@ -230,6 +230,93 @@ def pe_fused(
     return out
 
 
+def _pe_kernel_packed(
+    g2x_ref, g2y_ref, g2z_ref, w1m_ref,
+    cx_ref, cy_ref, cz_ref,
+    w10_ref, w11_ref, w12_ref, b10_ref, b11_ref, b12_ref,
+    w20_ref, w21_ref, w22_ref, b20_ref, b21_ref, b22_ref,
+    out_ref, *, r1: float, r2: float, p_blk: int, s2: int,
+):
+    cx = cx_ref[0]
+    cy = cy_ref[0]
+    cz = cz_ref[0]
+    rx = g2x_ref[0] - cx  # relative coords shared by BOTH scales
+    ry = g2y_ref[0] - cy
+    rz = g2z_ref[0] - cz
+    # scale 1: float WEIGHTS (multiset multiplicities — r1 hits get 1, the
+    # scan-first r1 hit carries the +(k1-cnt1) pad bump) drive the LRF sums;
+    # the max-pool masks on weight > 0
+    f1 = _scale_block(
+        rx, ry, rz, w1m_ref[0], r1,
+        (w10_ref[...], w11_ref[...], w12_ref[...]),
+        (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s2, pack=True,
+    )
+    # scale 2: pad slots are materialized first-hit duplicates — unmasked
+    f2 = _scale_block(
+        rx, ry, rz, jnp.ones_like(rx), r2,
+        (w20_ref[...], w21_ref[...], w22_ref[...]),
+        (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s2, pack=True,
+    )
+    out_ref[0] = jnp.concatenate([f1, f2], axis=0).T
+
+
+def pe_fused_packed(
+    grouped2,  # (g2x, g2y, g2z) each (B, P, S2): scale-2 slots, pad-filled
+    w1,  # (B, P, S2) float32 scale-1 multiset weights (0 = not an r1 hit)
+    center,  # (cx, cy, cz) each (B, P)
+    w1_mlp: Sequence[jnp.ndarray],
+    b1_mlp: Sequence[jnp.ndarray],
+    w2_mlp: Sequence[jnp.ndarray],
+    b2_mlp: Sequence[jnp.ndarray],
+    r1: float,
+    r2: float,
+    p_blk: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused two-scale first_k PE on the PACKED grouping
+    (ops/ball_query.two_scale_group_first_k_packed): both scales share scale
+    2's compacted slots — scale 1 is its per-slot multiset weights, so the
+    separate (B, P, S1) materialization, its k2-wide selection sort and its
+    extra HBM round trip all disappear. Returns (B, P, 256) float32."""
+    g2 = tuple(g.astype(jnp.float32) for g in grouped2)
+    cx, cy, cz = (c.astype(jnp.float32)[..., None] for c in center)
+    B, P, S2 = g2[0].shape
+    assert P % p_blk == 0 and S2 % 256 == 0, (P, p_blk, S2)
+    m1 = w1.astype(jnp.float32)
+
+    grid = (B, P // p_blk)
+    blk_s2 = pl.BlockSpec((1, p_blk, S2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((1, p_blk, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    def prep(Ws, bs):
+        Ws = [
+            jnp.concatenate(
+                [
+                    jnp.concatenate([W, jnp.zeros_like(W)], axis=1),
+                    jnp.concatenate([jnp.zeros_like(W), W], axis=1),
+                ],
+                axis=0,
+            )
+            for W in Ws
+        ]
+        bs = [jnp.tile(b.reshape(-1, 1), (2, 1)) for b in bs]
+        return [*Ws, *bs]
+
+    weights = prep(w1_mlp, b1_mlp) + prep(w2_mlp, b2_mlp)
+    weights = [w.astype(jnp.float32) for w in weights]
+    kernel = functools.partial(_pe_kernel_packed, r1=float(r1), r2=float(r2), p_blk=p_blk, s2=S2)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk_s2] * 4 + [blk2] * 3 + [full(w) for w in weights],
+        out_specs=pl.BlockSpec((1, p_blk, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
+        interpret=interpret,
+    )(*g2, m1, cx, cy, cz, *weights)
+    return out
+
+
 def fold_bn(W: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray, eps: float = 1e-5):
     """Fold inference BatchNorm into the preceding linear: y = s*(Wx - mu)/sqrt(v+eps) + b."""
     inv = scale / jnp.sqrt(var + eps)
