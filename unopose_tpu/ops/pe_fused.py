@@ -80,8 +80,13 @@ def _masked_lrf_block(rx, ry, rz, m, r_lrf: float):
     return o0, o1, o2
 
 
-def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int, pack: bool = False):
+def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int, pack: bool = False, lrf_m=None):
     """One scale: 6-channel planes -> MLP -> masked max. Returns (128, P_blk).
+
+    ``m`` may be None: unmasked max (all slots participate — the first_k
+    path whose pad slots are materialized duplicates). ``lrf_m`` optionally
+    gives the LRF moment weights when they differ from the pool mask (the
+    packed path's float multiset multiplicities).
 
     ``pack``: sample-pair packing — the max-pool is sample-order-invariant,
     so the two contiguous halves of the sample axis can ride as stacked
@@ -91,7 +96,8 @@ def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int, pack: bool
     as K=128), so halving columns at doubled M/K is a ~25% kernel win.
     Requires s % 256 == 0 (each half must keep a 128-multiple minor dim).
     """
-    l0, l1, l2 = _masked_lrf_block(rx, ry, rz, m, r)
+    wm = lrf_m if lrf_m is not None else (m if m is not None else jnp.ones_like(rx))
+    l0, l1, l2 = _masked_lrf_block(rx, ry, rz, wm, r)
     chans = jnp.stack([rx, ry, rz, l0, l1, l2], axis=0)  # (6, P_blk, S)
     if pack:
         s2 = s // 2
@@ -109,16 +115,24 @@ def _scale_block(rx, ry, rz, m, r: float, Ws, bs, p_blk: int, s: int, pack: bool
             preferred_element_type=jnp.float32,
         )  # (d, L)
         h = jnp.maximum(z + b, 0.0).astype(jnp.bfloat16)  # b is (d, 1)
-    h = h.astype(jnp.float32)
+    # masked max as a MULTIPLY: post-relu h >= 0 and every neighborhood has
+    # >= 1 valid slot (the self point), so zeroing masked slots never changes
+    # the max — and it avoids the compare+select+(-inf) pass (~5 ms/call
+    # at the operating point, measured)
+    mb = None if m is None else (m > 0.0).astype(jnp.bfloat16)
     if pack:
         s2 = s // 2
-        za = jnp.where(m[:, :s2][None] > 0.0, h[:128].reshape(128, p_blk, s2), -jnp.inf)
-        zb = jnp.where(m[:, s2:][None] > 0.0, h[128:].reshape(128, p_blk, s2), -jnp.inf)
-        return jnp.max(jnp.maximum(za, zb), axis=2)  # (128, P_blk)
+        za = h[:128].reshape(128, p_blk, s2)
+        zb = h[128:].reshape(128, p_blk, s2)
+        if mb is not None:
+            za = za * mb[:, :s2][None]
+            zb = zb * mb[:, s2:][None]
+        return jnp.max(jnp.maximum(za, zb), axis=2).astype(jnp.float32)  # (128, P_blk)
     d_last = h.shape[0]
     h = h.reshape(d_last, p_blk, s)
-    h = jnp.where(m[None, :, :] > 0.0, h, -jnp.inf)
-    return jnp.max(h, axis=2)  # (128, P_blk)
+    if mb is not None:
+        h = h * mb[None, :, :]
+    return jnp.max(h, axis=2).astype(jnp.float32)  # (128, P_blk)
 
 
 def _pe_kernel(
@@ -237,23 +251,28 @@ def _pe_kernel_packed(
     w20_ref, w21_ref, w22_ref, b20_ref, b21_ref, b22_ref,
     out_ref, *, r1: float, r2: float, p_blk: int, s2: int,
 ):
+    """Per-scale 2-way sample-pair-packed processing of the SHARED scale-2
+    slots. (A 4-way scale+half block-diagonal variant measured ~12 ms
+    SLOWER at the operating point: the four slice/reshape relayouts of the
+    channel stacks dominate whatever MXU depth it recovers.)"""
     cx = cx_ref[0]
     cy = cy_ref[0]
     cz = cz_ref[0]
     rx = g2x_ref[0] - cx  # relative coords shared by BOTH scales
     ry = g2y_ref[0] - cy
     rz = g2z_ref[0] - cz
+    m1 = w1m_ref[0]
     # scale 1: float WEIGHTS (multiset multiplicities — r1 hits get 1, the
     # scan-first r1 hit carries the +(k1-cnt1) pad bump) drive the LRF sums;
-    # the max-pool masks on weight > 0
+    # the max-pool multiply-masks on weight > 0
     f1 = _scale_block(
-        rx, ry, rz, w1m_ref[0], r1,
+        rx, ry, rz, m1, r1,
         (w10_ref[...], w11_ref[...], w12_ref[...]),
-        (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s2, pack=True,
+        (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s2, pack=True, lrf_m=m1,
     )
     # scale 2: pad slots are materialized first-hit duplicates — unmasked
     f2 = _scale_block(
-        rx, ry, rz, jnp.ones_like(rx), r2,
+        rx, ry, rz, None, r2,
         (w20_ref[...], w21_ref[...], w22_ref[...]),
         (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s2, pack=True,
     )
