@@ -181,6 +181,7 @@ def _first_k_keys_pallas(
     chunks: int,
     rows: int = 256,
     interpret: bool = False,
+    compact: int = 0,
 ):
     """Fused production of the chunked first_k sort keys + counts in VMEM.
 
@@ -235,7 +236,11 @@ def _first_k_keys_pallas(
     cy = pts[..., 1][..., None]
     cz = pts[..., 2][..., None]
 
-    def kernel(cx_ref, cy_ref, cz_ref, cpts_ref, cand_ref, permv_ref, key_ref, ccnt_ref, aux_ref):
+    def kernel(cx_ref, cy_ref, cz_ref, cpts_ref, cand_ref, permv_ref, *refs):
+        if compact:
+            lt_ref, key_ref, ccnt_ref, aux_ref = refs
+        else:
+            key_ref, ccnt_ref, aux_ref = refs
         x = cx_ref[0]  # (rows, 1)
         y = cy_ref[0]
         z = cz_ref[0]
@@ -283,8 +288,49 @@ def _first_k_keys_pallas(
             d2 = (cn - 2.0 * xy) + pn
             m2 = d2 < r2sq
             m1 = d2 < r1sq
-            key = W - wiota + jnp.where(m2, 2 * W, 0) + jnp.where(m1, 4 * W, 0)
-            key_ref[0, c] = key.astype(jnp.int16)
+            if compact:
+                # in-kernel hit compaction (replaces the XLA budget sort,
+                # ~9 ms/batch): rank hits by a ONE-PASS bf16 matmul against
+                # the lower-triangular ones matrix (0/1 operands + fp32
+                # accumulate = exact counts <= W), then stream-compact them
+                # to the leftmost lanes with 9 LSB-first binary shift
+                # rounds. Collision-freeness: an incoming element (bit j of
+                # its residual distance set, distances already multiples of
+                # 2^j) can only land on a lane whose resident also leaves
+                # or which is empty — resident staying would force the two
+                # ranks 2^(j+1) apart, more than the 2^j lanes between them
+                # can hold.
+                rank = jax.lax.dot_general(
+                    m2.astype(jnp.bfloat16),
+                    lt_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)  # inclusive hit count up to each lane
+                keep = m2 & (rank <= compact)
+                # one combined int32 per lane: payload (pos*4|m1*2|valid)
+                # in the high bits, residual leftward distance in the low
+                # dbits (decrementing the word by s decrements exactly the
+                # dist bits: moving elements always have dist >= s)
+                dbits = (W - 1).bit_length()
+                work = jnp.where(
+                    keep,
+                    ((((c * W + wiota) << 2) | (m1.astype(jnp.int32) << 1) | 1) << dbits)
+                    | (wiota - (rank - 1)),
+                    0,
+                )
+                s = 1
+                while s < W:
+                    # left-shift by s == circular roll by W - s (pltpu.roll
+                    # requires non-negative shifts); wrapped lanes masked below
+                    w_in = pltpu.roll(work, W - s, axis=1)
+                    move_in = ((w_in & s) != 0) & (wiota < W - s)
+                    stay = (work & s) == 0  # empties (0) "stay" as empties
+                    work = jnp.where(move_in, w_in - s, jnp.where(stay, work, 0))
+                    s *= 2
+                key_ref[0, c] = work[:, :compact] >> dbits
+            else:
+                key = W - wiota + jnp.where(m2, 2 * W, 0) + jnp.where(m1, 4 * W, 0)
+                key_ref[0, c] = key.astype(jnp.int16)
             ccols.append(jnp.sum(m2.astype(jnp.int32), axis=1, keepdims=True))
             pv = permv_ref[c : c + 1, :]  # (1, W)
             pv_enc = pv * 4096 + (c * W + wiota)  # (rows, W) orig*4096 + permpos
@@ -296,29 +342,41 @@ def _first_k_keys_pallas(
 
     grid = (B, N // rows)
     cspec = lambda: pl.BlockSpec((1, rows, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        cspec(),
+        cspec(),
+        cspec(),
+        pl.BlockSpec((1, rows, 3), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, N), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, W), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [cx, cy, cz, pts, cand, permv]
+    if compact:
+        # lower-triangular ones (w' <= w) for the one-pass bf16 rank matmul
+        lt = jnp.asarray(np.tril(np.ones((W, W), np.float32)).T, jnp.bfloat16)
+        in_specs.append(pl.BlockSpec((W, W), lambda b, j: (0, 0), memory_space=pltpu.VMEM))
+        inputs.append(lt)
+        key_spec = pl.BlockSpec((1, C, rows, compact), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
+        key_shape = jax.ShapeDtypeStruct((B, C, N, compact), jnp.int32)
+    else:
+        key_spec = pl.BlockSpec((1, C, rows, W), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
+        key_shape = jax.ShapeDtypeStruct((B, C, N, W), jnp.int16)
     outs = pl.pallas_call(
         functools.partial(kernel),
         grid=grid,
-        in_specs=[
-            cspec(),
-            cspec(),
-            cspec(),
-            pl.BlockSpec((1, rows, 3), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, N), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, W), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, C, rows, W), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM),
+            key_spec,
             pl.BlockSpec((1, rows, C), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, 4), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, C, N, W), jnp.int16),
+            key_shape,
             jax.ShapeDtypeStruct((B, N, C), jnp.int32),
             jax.ShapeDtypeStruct((B, N, 4), jnp.int32),
         ),
         interpret=interpret,
-    )(cx, cy, cz, pts, cand, permv)
+    )(*inputs)
     return outs
 
 
@@ -359,13 +417,23 @@ def _first_k_budget_select(
         fused_keys = jax.devices()[0].platform == "tpu" and N % 256 == 0
 
     if fused_keys:
-        # ONE VMEM pass produces keys + counts + first-hit mins; the
-        # (B, N, N) distance matrix never touches HBM (see _first_k_keys_pallas)
-        key, ccnt, aux = _first_k_keys_pallas(r1, r2, pts, pts_p, perm, C, interpret=interpret)
+        # ONE VMEM pass produces compacted hit slots + counts + first-hit
+        # mins; neither the (B, N, N) distance matrix nor the sort keys
+        # ever touch HBM, and the XLA budget sort (~9 ms/batch) disappears
+        # (see _first_k_keys_pallas compact mode)
+        sel, ccnt, aux = _first_k_keys_pallas(
+            r1, r2, pts, pts_p, perm, C, interpret=interpret, compact=budget
+        )
         total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
         cnt1 = aux[..., 0]
         first2_orig = aux[..., 1]
         enc1 = aux[..., 2]
+        sel = jnp.moveaxis(sel, 1, 2)  # (B, N, C, budget) int32
+        validslot = (sel & 1) == 1
+        m1slot = (sel & 2) != 0
+        idx_p = (sel >> 2).reshape(B, N, k2)
+        validslot = validslot.reshape(B, N, k2)
+        m1slot = m1slot.reshape(B, N, k2)
     else:
         d2 = pairwise_sqdist(pts, pts_p)  # (B, P, N) columns in permuted order
         mask2 = d2 < r2 * r2
@@ -395,18 +463,13 @@ def _first_k_budget_select(
         key = (
             W - wiota + jnp.where(mv, 2 * W, 0) + jnp.where(m1v, 4 * W, 0)
         ).astype(jnp.int16)  # max 7W = 3584, int16-safe
-    top = jax.lax.sort(-key, dimension=-1, is_stable=False)[..., :budget]
-    if fused_keys:
-        # kernel emits chunk-major (B, C, N, W); bring the budget slots back
-        # to (B, N, C, budget) for the shared decode (16 MB int16 transpose)
-        top = jnp.moveaxis(top, 1, 2)
-    top = (-top).astype(jnp.int32)
-    m1slot = top > 4 * W  # (B, N, C, budget)
-    validslot = top > 2 * W
-    w = W - (top - jnp.where(validslot, 2 * W, 0) - jnp.where(m1slot, 4 * W, 0))
-    idx_p = (jnp.arange(C, dtype=jnp.int32)[None, None, :, None] * W + w).reshape(B, N, k2)
-    validslot = validslot.reshape(B, N, k2)
-    m1slot = m1slot.reshape(B, N, k2)
+        top = -jax.lax.sort(-key, dimension=-1, is_stable=False)[..., :budget].astype(jnp.int32)
+        m1slot = top > 4 * W  # (B, N, C, budget)
+        validslot = top > 2 * W
+        w = W - (top - jnp.where(validslot, 2 * W, 0) - jnp.where(m1slot, 4 * W, 0))
+        idx_p = (jnp.arange(C, dtype=jnp.int32)[None, None, :, None] * W + w).reshape(B, N, k2)
+        validslot = validslot.reshape(B, N, k2)
+        m1slot = m1slot.reshape(B, N, k2)
 
     # pad with the first-by-original-index hit (CUDA reference padding);
     # zero-hit rows keep original point 0
