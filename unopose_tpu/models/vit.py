@@ -24,11 +24,17 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: jnp.dtype = jnp.float32
+    # tanh-approximate gelu (TPU inference): XLA's erf lowering costs
+    # ~4.6 ms/32-image batch on v5e vs ~0.5 ms for tanh; the approximation
+    # error (~3e-4 typical, ~1e-3 max) is below the bf16 matmul rounding
+    # the backbone already runs at. Exact erf is kept for training and the
+    # fp32 parity paths (timm uses exact gelu).
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_tanh)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -85,7 +91,10 @@ class ViTBlock(nn.Module):
         x = x + out
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h)
+        # the fused_attn gate doubles as "TPU inference": same conditions
+        # under which the tanh-gelu deviation is acceptable (see Mlp)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                gelu_tanh=self.fused_attn, name="mlp")(h)
         if self.init_values is not None:
             ls2 = self.param("ls2", nn.initializers.constant(self.init_values), (self.dim,))
             h = h * ls2.astype(self.dtype)
