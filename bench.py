@@ -48,6 +48,8 @@ def main():
     from unopose_tpu.models import UNOPose
 
     cfg = get_cfg()
+    if os.environ.get("UNOPOSE_BENCH_INT8"):
+        cfg.model.feature_extraction.int8_gemm = True
     # bf16 matchers at inference: the accuracy-critical paths (similarity,
     # softmax, PE, solvers) are pinned fp32 inside the modules
     model = UNOPose.from_config(cfg.model, dtype=jnp.bfloat16, backbone_dtype=jnp.bfloat16)

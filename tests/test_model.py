@@ -54,6 +54,48 @@ def test_vit_pyramid_shapes(rng):
     assert cls.shape == (2, 32)
 
 
+def test_vit_int8_gemm_feature_parity(rng):
+    """W8A8 block GEMMs (DenseQ int8 path) keep the pyramid features close
+    to the fp32 reference: per-token relative error well under the ~1%
+    band typical of per-channel W8 + per-token A8 on a frozen ViT. Same
+    params, same inputs, int8 on/off."""
+    from unopose_tpu.models.vit import ViTPyramid
+
+    kw = dict(img_size=IMG, patch_size=14, embed_dim=64, depth=4, num_heads=2,
+              init_values=1e-5, reg_tokens=4, no_embed_class=True)
+    vit32 = ViTPyramid(fused_attn=False, **kw)
+    x = jnp.asarray(rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32))
+    vars_ = vit32.init(jax.random.PRNGKey(0), x)
+    outs32, _ = vit32.apply(vars_, x)
+
+    # DenseQ unit parity at ViT-B shapes
+    from unopose_tpu.models.vit import DenseQ
+
+    h = jnp.asarray(rng.normal(size=(128, 768)).astype(np.float32))
+    dq32 = DenseQ(512, dtype=jnp.float32, int8=False)
+    dq8 = DenseQ(512, dtype=jnp.float32, int8=True)
+    dvars = dq32.init(jax.random.PRNGKey(1), h)
+    y32 = np.asarray(dq32.apply(dvars, h))
+    y8 = np.asarray(dq8.apply(dvars, h))
+    rel = np.abs(y8 - y32) / (np.abs(y32).mean() + 1e-6)
+    assert np.median(rel) < 1.5e-2, np.median(rel)
+    assert np.quantile(rel, 0.99) < 6e-2, np.quantile(rel, 0.99)
+
+    # full block with int8 forced through the block flag (XLA attention on
+    # both sides so the comparison isolates the GEMM quantization)
+    from unopose_tpu.models.vit import ViTBlock
+
+    blk32 = ViTBlock(64, 2, 4.0, 1e-5, dtype=jnp.float32, fused_attn=False, int8=False)
+    blk8 = ViTBlock(64, 2, 4.0, 1e-5, dtype=jnp.float32, fused_attn=False, int8=True)
+    t = jnp.asarray(rng.normal(size=(2, 9, 64)).astype(np.float32))
+    bvars = blk32.init(jax.random.PRNGKey(2), t)
+    o32 = np.asarray(blk32.apply(bvars, t)[0])
+    o8 = np.asarray(blk8.apply(bvars, t)[0])
+    relb = np.abs(o8 - o32) / (np.abs(o32).mean() + 1e-6)
+    assert np.median(relb) < 1e-2, np.median(relb)
+    assert outs32[0].shape[0] == 2  # fp32 path unchanged
+
+
 def test_train_forward_and_losses(tiny_model):
     cfg, model, variables, inputs = tiny_model
     outputs, mutated = model.apply(

@@ -76,6 +76,7 @@ def get_cfg() -> CN:
             fine_npoint=2048,
             feature_extraction=dict(
                 vit_type="vit_base_patch14_reg4_dinov2",
+                int8_gemm=False,  # W8A8 ViT block GEMMs at inference (~2x MXU rate)
                 up_type="linear",
                 embed_dim=768,
                 out_dim=256,

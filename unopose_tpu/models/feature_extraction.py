@@ -78,6 +78,7 @@ class ViTAE(nn.Module):
     use_pyramid_feat: bool = True
     img_size: int = 224
     dtype: jnp.dtype = jnp.float32
+    int8_gemm: bool = False  # W8A8 ViT block GEMMs at inference (vit.DenseQ)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, upsample: bool = True, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -88,7 +89,8 @@ class ViTAE(nn.Module):
         directly with ``bilinear_gather`` (equivalent values, ~25x less HBM
         traffic than materializing the full-resolution map)."""
         B, H, W, _ = x.shape
-        vit = make_vit(self.vit_type, img_size=self.img_size, dtype=self.dtype, name="vit")
+        vit = make_vit(self.vit_type, img_size=self.img_size, dtype=self.dtype,
+                       int8_gemm=self.int8_gemm, name="vit")
         outs, cls = vit(x, train=train)
         npfx = vit.num_prefix_tokens
         outs = [o[:, npfx:, :] for o in outs]
@@ -125,6 +127,7 @@ class ViTEncoderOneRef(nn.Module):
     use_pyramid_feat: bool = True
     img_size: int = 224
     dtype: jnp.dtype = jnp.float32
+    int8_gemm: bool = False
 
     def setup(self):
         self.rgb_net = ViTAE(
@@ -135,6 +138,7 @@ class ViTEncoderOneRef(nn.Module):
             use_pyramid_feat=self.use_pyramid_feat,
             img_size=self.img_size,
             dtype=self.dtype,
+            int8_gemm=self.int8_gemm,
         )
 
     def get_img_feats(self, img: jnp.ndarray, choose: jnp.ndarray, train: bool = False) -> jnp.ndarray:

@@ -79,6 +79,7 @@ class UNOPose(nn.Module):
             use_pyramid_feat=fe.get("use_pyramid_feat", True),
             img_size=fe.get("img_size", 224),
             dtype=self.backbone_dtype,
+            int8_gemm=fe.get("int8_gemm", False),
         )
         ge = self.geo_embedding or CN()
         import numpy as _np
