@@ -279,6 +279,32 @@ def test_fine_pe_fused_matches_xla(rng):
     assert np.median(err) < 2e-2
 
 
+def test_geo_fused_int8_quantization(rng):
+    """quantize=True returns (int8, per-channel scale) whose dequantized
+    values match the unquantized fused output within one quantization step
+    (bound exact from the tables, so no saturation)."""
+    from unopose_tpu.models.embedding import GeometricStructureEmbedding
+
+    B, N, D, k = 2, 37, 64, 3
+    dmax = float(2.1 * np.sqrt(3.0) / 0.2)
+    v = rng.normal(size=(B, N, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts = jnp.asarray((0.7 * v + rng.normal(size=(B, N, 3)) * 0.02).astype(np.float32))
+
+    kw = dict(hidden_dim=D, sigma_d=0.2, sigma_a=15.0, angle_k=k, reduction_a="max",
+              d_index_max=dmax, fused_table=128, fused_interpret=True)
+    ge32 = GeometricStructureEmbedding(**kw)
+    ge8 = GeometricStructureEmbedding(quant_int8=True, **kw)
+    variables = ge32.init(jax.random.PRNGKey(0), pts)
+    want = np.asarray(ge32.apply(variables, pts))
+    e8, esc = ge8.apply(variables, pts)
+    assert e8.dtype == jnp.int8
+    got = np.asarray(e8, np.float32) * np.asarray(esc)[None, None, None, :]
+    step = np.asarray(esc)  # one quantization step per channel
+    err = np.abs(got - want)
+    assert (err <= 0.51 * step[None, None, None, :] + 1e-5).all(), err.max()
+
+
 def test_geo_fused_matches_f64_oracle(rng):
     """The fused Pallas geo-RPE kernel (pre-projected Taylor tables +
     branchless atan2, interpret mode on CPU) matches a float64 numpy oracle

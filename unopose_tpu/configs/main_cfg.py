@@ -95,6 +95,9 @@ def get_cfg() -> CN:
                 # TPU extension: fused Pallas RPE kernel table size (0 = off);
                 # inference-only, auto-gated on backend inside the module
                 fused_table=128,
+                # int8 embedding storage (halves HBM traffic of the largest
+                # forward tensor; quant step ~bf16 rounding — see geo_fused)
+                quant_int8=True,
             ),
             coarse_point_matching=dict(
                 nblock=3,

@@ -95,7 +95,16 @@ class RPEMultiHeadAttention(nn.Module):
         k = rearrange(nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in), "b m (h c) -> b h m c", h=h)
         v = rearrange(nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in), "b m (h c) -> b h m c", h=h)
         qt, qb = _FoldedPosProj(self.d_model, h, dtype=self.dtype, name="proj_p")(q)
-        scores_p = jnp.einsum("bhnd,bnmd->bhnm", qt, embed_qk.astype(self.dtype)) + qb[..., None]
+        if isinstance(embed_qk, tuple):
+            # int8-quantized embedding (e8, per-channel scale) from the fused
+            # geo kernel: fold the dequant scale into q-tilde (tiny) so the
+            # big tensor is read as int8 — HALF the HBM traffic of bf16 on
+            # the bandwidth-bound chip; the convert fuses into the einsum
+            e8, esc = embed_qk
+            qt = qt * esc.astype(self.dtype)[None, None, None, :]
+            scores_p = jnp.einsum("bhnd,bnmd->bhnm", qt, e8.astype(self.dtype)) + qb[..., None]
+        else:
+            scores_p = jnp.einsum("bhnd,bnmd->bhnm", qt, embed_qk.astype(self.dtype)) + qb[..., None]
         scores = (jnp.einsum("bhnc,bhmc->bhnm", q, k) + scores_p) / dph**0.5
         if attention_factors is not None:
             scores = attention_factors[:, None] * scores

@@ -136,6 +136,11 @@ class GeometricStructureEmbedding(nn.Module):
     # the inputs, but the projection weights would need one for training).
     fused_table: int = 0
     fused_interpret: bool = False
+    # fused path writes the embedding as symmetric per-channel int8 and
+    # returns (e8, scale) — half the HBM bytes for this write AND every RPE
+    # layer's read (quant step ~0.4% of channel range, same order as the
+    # bf16 rounding it replaces; bound exact from the tables)
+    quant_int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _make_table(self, proj: nn.Dense, x_max: jnp.ndarray) -> jnp.ndarray:
@@ -191,7 +196,8 @@ class GeometricStructureEmbedding(nn.Module):
             return geo_rpe_fused(
                 points, ref_vec, tab_d, tab_a, scale_d, scale_a,
                 sigma_d=self.sigma_d, factor_a=factor_a,
-                out_dtype=self.dtype, interpret=self.fused_interpret,
+                out_dtype=self.dtype, quantize=self.quant_int8,
+                interpret=self.fused_interpret,
             )
         # planar channel math: the (B, N, N) anchor-vector planes keep the
         # big tensors 2-D-tiled; a trailing width-3 axis (and the 5-D

@@ -101,6 +101,7 @@ class UNOPose(nn.Module):
             # (auto-gated on backend + train inside the module): 9.6 ms vs
             # 15.7 ms per 16-cloud call on v5e at the production point
             fused_table=ge.get("fused_table", 128),
+            quant_int8=ge.get("quant_int8", True),
             dtype=self.dtype,
         )
         cm = self.coarse_point_matching or CN()
@@ -232,7 +233,13 @@ class UNOPose(nn.Module):
             ),
             train=train,
         )
-        geo_m, geo_o = geo_both[:B], geo_both[B:]
+        if isinstance(geo_both, tuple):
+            # int8-quantized embedding (e8, per-channel scale): slice the
+            # tensor, share the scale (see ops/geo_fused quantize)
+            e8, esc = geo_both
+            geo_m, geo_o = (e8[:B], esc), (e8[B:], esc)
+        else:
+            geo_m, geo_o = geo_both[:B], geo_both[B:]
 
         out = dict(
             radius=radius,
