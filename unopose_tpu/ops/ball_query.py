@@ -327,7 +327,7 @@ def _first_k_keys_pallas(
                     stay = (work & s) == 0  # empties (0) "stay" as empties
                     work = jnp.where(move_in, w_in - s, jnp.where(stay, work, 0))
                     s *= 2
-                key_ref[0, c] = work[:, :compact] >> dbits
+                key_ref[0, c] = (work[:, :compact] >> dbits).astype(jnp.int16)
             else:
                 key = W - wiota + jnp.where(m2, 2 * W, 0) + jnp.where(m1, 4 * W, 0)
                 key_ref[0, c] = key.astype(jnp.int16)
@@ -357,7 +357,9 @@ def _first_k_keys_pallas(
         in_specs.append(pl.BlockSpec((W, W), lambda b, j: (0, 0), memory_space=pltpu.VMEM))
         inputs.append(lt)
         key_spec = pl.BlockSpec((1, C, rows, compact), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
-        key_shape = jax.ShapeDtypeStruct((B, C, N, compact), jnp.int32)
+        # int16 payload (pos*4|m1*2|valid <= 4N-1 <= 16383): halves the
+        # select tensor's HBM round trip on the bandwidth-bound chip
+        key_shape = jax.ShapeDtypeStruct((B, C, N, compact), jnp.int16)
     else:
         key_spec = pl.BlockSpec((1, C, rows, W), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
         key_shape = jax.ShapeDtypeStruct((B, C, N, W), jnp.int16)
@@ -428,10 +430,10 @@ def _first_k_budget_select(
         cnt1 = aux[..., 0]
         first2_orig = aux[..., 1]
         enc1 = aux[..., 2]
-        sel = jnp.moveaxis(sel, 1, 2)  # (B, N, C, budget) int32
+        sel = jnp.moveaxis(sel, 1, 2)  # (B, N, C, budget) int16
         validslot = (sel & 1) == 1
         m1slot = (sel & 2) != 0
-        idx_p = (sel >> 2).reshape(B, N, k2)
+        idx_p = (sel >> 2).reshape(B, N, k2)  # int16: N <= 4096
         validslot = validslot.reshape(B, N, k2)
         m1slot = m1slot.reshape(B, N, k2)
     else:
@@ -474,7 +476,7 @@ def _first_k_budget_select(
     # pad with the first-by-original-index hit (CUDA reference padding);
     # zero-hit rows keep original point 0
     q_first = jnp.take(inv_perm, jnp.where(total2 > 0, first2_orig, 0), axis=0)  # (B, N)
-    idx_p = jnp.where(validslot, idx_p, q_first[..., None])
+    idx_p = jnp.where(validslot, idx_p, q_first[..., None].astype(idx_p.dtype))
 
     g2 = gather_planar(xp, yp, zp, idx_p)  # three (B, N, k2)
 
@@ -530,10 +532,13 @@ def two_scale_group_first_k_packed(
     sel = _first_k_budget_select(r1, k1, r2, k2, pts, chunks, fused_keys, interpret)
     first1_pp = sel["enc1"] & 4095  # permuted position of the scan-first r1 hit
     npads1 = (k1 - sel["cnt1"]).astype(jnp.float32)  # >= 0 when not overflowed
-    bump = (sel["idx_p"] == first1_pp[..., None]).astype(jnp.float32) * npads1[..., None]
+    bump = (
+        sel["idx_p"].astype(jnp.int32) == first1_pp[..., None]
+    ).astype(jnp.float32) * npads1[..., None]
     # m1slot gating: pad slots duplicate first2's position, which can collide
-    # with first1_pp when first1 == first2 — pads carry m1slot == False
-    w1 = jnp.where(sel["m1slot"], 1.0 + bump, 0.0)
+    # with first1_pp when first1 == first2 — pads carry m1slot == False.
+    # bf16 weights: multiplicities <= 1 + k1 are exact, half the HBM bytes
+    w1 = jnp.where(sel["m1slot"], 1.0 + bump, 0.0).astype(jnp.bfloat16)
     return sel["g2"], w1, sel["overflow"]
 
 

@@ -26,7 +26,7 @@ _TP = 128  # center rows per program
 
 
 def _kernel(x_ref, y_ref, z_ref, i_ref, ox_ref, oy_ref, oz_ref, *, n: int, s: int):
-    ii = i_ref[0]  # (TP, S)
+    ii = i_ref[0].astype(jnp.int32)  # (TP, S); int16 inputs upcast in VMEM
     for src, dst in ((x_ref, ox_ref), (y_ref, oy_ref), (z_ref, oz_ref)):
         row = src[0]  # (1, N)
         for sc in range(s // 128):

@@ -261,7 +261,9 @@ def _pe_kernel_packed(
     rx = g2x_ref[0] - cx  # relative coords shared by BOTH scales
     ry = g2y_ref[0] - cy
     rz = g2z_ref[0] - cz
-    m1 = w1m_ref[0]
+    # weights arrive bf16 (half the HBM read); upcast once in VMEM —
+    # Mosaic rejects bf16 vector compares in packed layouts
+    m1 = w1m_ref[0].astype(jnp.float32)
     # scale 1: float WEIGHTS (multiset multiplicities — r1 hits get 1, the
     # scan-first r1 hit carries the +(k1-cnt1) pad bump) drive the LRF sums;
     # the max-pool multiply-masks on weight > 0
@@ -301,7 +303,8 @@ def pe_fused_packed(
     cx, cy, cz = (c.astype(jnp.float32)[..., None] for c in center)
     B, P, S2 = g2[0].shape
     assert P % p_blk == 0 and S2 % 256 == 0, (P, p_blk, S2)
-    m1 = w1.astype(jnp.float32)
+    m1 = w1  # native dtype (bf16 from the packed grouping): the kernel
+    # upcasts per-op; an XLA-side astype would round-trip 67MB through HBM
 
     grid = (B, P // p_blk)
     blk_s2 = pl.BlockSpec((1, p_blk, S2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
