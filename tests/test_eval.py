@@ -641,3 +641,49 @@ def test_rasterizer_skips_out_of_range_faces():
     d_bad = rend.render_depth(1, np.eye(3), np.array([0, 0, 700.0]), K)
     d_ref = rasterize_exact(pts, faces, np.eye(3), np.array([0, 0, 700.0]), K, 480, 640)
     assert np.allclose(d_bad, d_ref, atol=0.02)
+
+
+def test_extra_error_functions_match_vendored():
+    """add/adi/proj/re/te match the vendored toolkit's pose_error module on
+    random poses (the metric definitions are the spec)."""
+    pose_error, _, _ = _import_bop_toolkit()
+    from unopose_tpu.eval import pose_error as ours
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-40, 40, size=(500, 3))
+    for _ in range(5):
+        A = rng.normal(size=(3, 3))
+        U, _, Vt = np.linalg.svd(A)
+        R_e = U @ Vt
+        if np.linalg.det(R_e) < 0:
+            R_e = U @ np.diag([1, 1, -1.0]) @ Vt
+        R_g = np.eye(3)
+        t_e = rng.uniform(-30, 30, size=(3, 1)) + [[0], [0], [700]]
+        t_g = np.array([[0.0], [0.0], [700.0]])
+        assert ours.add(R_e, t_e.reshape(3), R_g, t_g.reshape(3), pts) == pytest.approx(
+            pose_error.add(R_e, t_e, R_g, t_g, pts), rel=1e-9)
+        assert ours.adi(R_e, t_e.reshape(3), R_g, t_g.reshape(3), pts) == pytest.approx(
+            pose_error.adi(R_e, t_e, R_g, t_g, pts), rel=1e-9)
+        assert ours.proj(R_e, t_e.reshape(3), R_g, t_g.reshape(3), K, pts) == pytest.approx(
+            pose_error.proj(R_e, t_e, R_g, t_g, K, pts), rel=1e-9)
+        assert ours.re(R_e, R_g) == pytest.approx(pose_error.re(R_e, R_g), rel=1e-6)
+        assert ours.te(t_e.reshape(3), t_g.reshape(3)) == pytest.approx(
+            pose_error.te(t_e, t_g), rel=1e-9)
+
+
+def test_evaluate_bop_extra_families(multi_det_bop):
+    """The extra families (eval_pose_results_more.py:78-159) run through the
+    same truncation/validity/matching machinery: on the multi-det fixture
+    every family sees the same match pattern (im1/obj1 truncated det on the
+    invalid GT -> 0/1, everything else exact -> full recall)."""
+    from unopose_tpu.eval.bop_eval import evaluate_bop
+
+    root, csv, rend, gt, visib, targets = multi_det_bop
+    ets = ("mssd", "add", "adi", "ad", "ABSadd", "AUCadd", "re", "te", "rete", "proj")
+    res = evaluate_bop(csv, str(root), error_types=ets)
+    for et in ets:
+        assert res[et]["per_object"][1] == pytest.approx(2.0 / 3.0), et
+        assert res[et]["per_object"][2] == pytest.approx(1.0), et
+        assert res[et]["average"] == pytest.approx((3 * 2 / 3 + 1 * 1) / 4), et
+    # headline AR = BOP19 members only (mssd here)
+    assert res["AR"] == pytest.approx(res["mssd"]["average"])

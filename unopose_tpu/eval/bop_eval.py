@@ -23,6 +23,9 @@ Protocol (BOP19, reference engine.py:74-84):
     visib_fract >= visib_gt_min (eval_calc_scores.py:194-214).
   * greedy score-ordered matching per (scene, im, obj) against valid
     unmatched GTs (pose_matching.py:40-89)
+  * extra error families on request (add/adi/ad, ABS*/AUC* variants, re,
+    te, rete, proj — eval_pose_results_more.py:78-159) with the
+    reference's threshold sets; the headline AR remains the BOP19 mean
   * recalls averaged over thresholds; AR = mean(AR_vsd, AR_mssd, AR_mspd);
     per-object table + overall weighted by per-object target inst_count
     sums (bop_eval_utils.py:203-216,269-276)
@@ -40,10 +43,15 @@ import numpy as np
 
 from unopose_tpu.data.preprocess import load_im, load_json
 from unopose_tpu.eval.pose_error import (
+    add,
+    adi,
     depth_im_to_dist_im,
     get_symmetry_transformations,
     mspd,
     mssd,
+    proj,
+    re,
+    te,
     vsd_from_dists,
 )
 from unopose_tpu.eval.ply import load_ply
@@ -55,6 +63,53 @@ VSD_TAUS = [0.05 * i for i in range(1, 11)]
 VSD_DELTA = 15.0
 REL_THRESHOLDS = [0.05 * i for i in range(1, 11)]  # vsd / mssd
 MSPD_THRESHOLDS = [5.0 * i for i in range(1, 11)]  # px, scaled by width/640
+
+# Extra error families of the reference evaluator
+# (eval_pose_results_more.py:78-159). Thresholds are the reference's
+# verbatim config values; families in _DIAMETER_NORMALIZED divide the raw
+# mm error by the object diameter before thresholding
+# (eval_calc_scores.py:52-53,222-227). The ABS*/AUC*/te thresholds are
+# compared against RAW errors exactly as the toolkit does (it performs no
+# cm->mm conversion despite the "[cm]" comments in its config).
+EXTRA_CORRECT_TH = {
+    "add": [0.02, 0.05, 0.1],  # fractions of diameter
+    "adi": [0.02, 0.05, 0.1],
+    "ad": [0.02, 0.05, 0.1],  # adi for symmetric objects, add otherwise
+    "ABSadd": [2.0],
+    "ABSadi": [2.0],
+    "ABSad": [2.0],
+    "AUCadd": [float(th) for th in range(1, 11)],  # 10-point recall curve
+    "AUCadi": [float(th) for th in range(1, 11)],
+    "AUCad": [float(th) for th in range(1, 11)],
+    "re": [2.0, 5.0, 10.0],  # degrees
+    "te": [2.0, 5.0, 10.0],
+    "rete": [[2.0, 2.0], [5.0, 5.0], [10.0, 10.0]],  # both must pass
+    "proj": [2.0, 5.0, 10.0],  # px
+}
+_DIAMETER_NORMALIZED = {"ad", "add", "adi"}  # (+ mssd, handled inline)
+# base surface-distance error behind each family ("ad" resolved per object)
+_AD_BASE = {
+    "add": "add", "ABSadd": "add", "AUCadd": "add",
+    "adi": "adi", "ABSadi": "adi", "AUCadi": "adi",
+    "ad": "ad", "ABSad": "ad", "AUCad": "ad",
+}
+
+# bop_toolkit dataset_params.py:93-107 — objects evaluated with ADI under
+# the "ad" family ("ID's of objects with ambiguous views").
+SYMMETRIC_OBJ_IDS = {
+    "lm": [3, 7, 10, 11],
+    "lmo": [10, 11],
+    "tless": list(range(1, 31)),
+    "tudl": [],
+    "tyol": [3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 15, 16, 17, 18, 19, 21],
+    "ruapc": [8, 9, 12, 13],
+    "icmi": [1, 2, 6],
+    "icbin": [1],
+    "itodd": [2, 3, 4, 5, 7, 8, 9, 11, 12, 14, 17, 18, 19, 23, 24, 25, 27, 28],
+    "hbs": [10, 12, 18, 29],
+    "hb": [6, 10, 11, 12, 13, 14, 18, 24, 29],
+    "ycbv": [1, 13, 14, 16, 18, 19, 20, 21],
+}
 
 
 def load_estimates_csv(path: str) -> List[Dict]:
@@ -110,18 +165,28 @@ class ModelStore:
         return self.info[obj_id]["diameter"]
 
 
-def _match_recall(errs_by_gt: Dict[int, List], n_valid_gts: int, thresh: float) -> int:
+def _match_recall(errs_by_gt: Dict[int, List], n_valid_gts: int, thresh) -> int:
     """Greedy score-ordered matching (pose_matching.py:9-88); returns the
     number of matched GTs at the given threshold.
 
-    errs_by_gt: list of (score, {gt_id: err}) per estimate."""
+    errs_by_gt: list of (score, {gt_id: err}) per estimate. ``thresh`` and
+    the errors may be multi-element lists (e.g. "rete" = [deg, mm]): a GT
+    beats the current best only if ALL elements are lower
+    (pose_matching.py:63-66)."""
+    multi = isinstance(thresh, (list, tuple))
     matched = set()
     n = 0
     for score, errors in errs_by_gt:
-        best_gt, best_err = -1, thresh
-        for gt_id, err in errors.items():
-            if gt_id not in matched and err < best_err:
-                best_gt, best_err = gt_id, err
+        if multi:
+            best_gt, best_err = -1, list(thresh)
+            for gt_id, err in errors.items():
+                if gt_id not in matched and all(err[i] < best_err[i] for i in range(len(best_err))):
+                    best_gt, best_err = gt_id, err
+        else:
+            best_gt, best_err = -1, thresh
+            for gt_id, err in errors.items():
+                if gt_id not in matched and err < best_err:
+                    best_gt, best_err = gt_id, err
         if best_gt >= 0:
             matched.add(best_gt)
             n += 1
@@ -139,13 +204,24 @@ def evaluate_bop(
     n_top: int = -1,
     im_size=(480, 640),
     max_images: Optional[int] = None,
+    dataset_name: Optional[str] = None,
 ) -> Dict:
     """Evaluate a BOP19 CSV against a BOP dataset directory.
 
+    ``error_types`` may include, beyond the BOP19 gate (vsd/mssd/mspd),
+    every extra family the reference evaluator configures
+    (eval_pose_results_more.py:78-159): add/adi/ad, ABSadd/ABSadi/ABSad,
+    AUCadd/AUCadi/AUCad, re, te, rete, proj. ``dataset_name`` selects the
+    SYMMETRIC_OBJ_IDS row for the "ad" variants (default: the basename of
+    ``dataset_dir``).
+
     Returns {error_type: {"per_object": {obj: AR}, "average": instance-
-    weighted AR}, "AR": mean over error types, ...}.
+    weighted AR}, "AR": mean over error types, ...}. "AR" averages ONLY
+    the BOP19 types present, matching the reference's headline metric.
     """
     models_dir = models_dir or osp.join(dataset_dir, "models_eval")
+    dataset_name = dataset_name or osp.basename(osp.normpath(dataset_dir))
+    sym_obj_ids = set(SYMMETRIC_OBJ_IDS.get(dataset_name, []))
     need_vsd = "vsd" in error_types
     renderer = MeshRasterRenderer(im_size[0], im_size[1]) if need_vsd else None
     store = ModelStore(models_dir, renderer)
@@ -176,7 +252,11 @@ def evaluate_bop(
         "vsd": REL_THRESHOLDS,
         "mssd": REL_THRESHOLDS,
         "mspd": MSPD_THRESHOLDS,
+        **EXTRA_CORRECT_TH,
     }
+    unknown = [et for et in error_types if et not in ths]
+    if unknown:
+        raise ValueError(f"unknown error types: {unknown}")
 
     gt_cache = {}
     target_insts: Dict[int, int] = {}  # obj -> total targeted inst_count seen
@@ -265,6 +345,35 @@ def evaluate_bop(
                                 d_est, d_gt, depth_test, VSD_DELTA, VSD_TAUS, True, store.diameter(obj_id)
                             )
                             e_errs["vsd"][g] = vsd_errs  # list over taus
+                        # ---- extra families (eval_pose_results_more.py:78-159)
+                        ad_vals = {}  # base ("add"/"adi") -> raw mm error
+                        for et in error_types:
+                            base = _AD_BASE.get(et)
+                            if base is None:
+                                continue
+                            if base == "ad":
+                                base = "adi" if obj_id in sym_obj_ids else "add"
+                            if base not in ad_vals:
+                                # bounding-spheres shortcut: infinite error
+                                # when the spheres cannot overlap
+                                # (eval_calc_errors.py:271-276,307-313)
+                                if np.linalg.norm(np.asarray(e["t"]).reshape(3) - t_g.reshape(3)) >= store.diameter(obj_id):
+                                    ad_vals[base] = float("inf")
+                                else:
+                                    fn = add if base == "add" else adi
+                                    ad_vals[base] = fn(e["R"], e["t"], R_g, t_g, pts)
+                            err = ad_vals[base]
+                            if et in _DIAMETER_NORMALIZED:
+                                err = err / store.diameter(obj_id)
+                            e_errs[et][g] = err
+                        if "re" in error_types:
+                            e_errs["re"][g] = re(e["R"], R_g)
+                        if "te" in error_types:
+                            e_errs["te"][g] = te(e["t"], t_g)
+                        if "rete" in error_types:
+                            e_errs["rete"][g] = [re(e["R"], R_g), te(e["t"], t_g)]
+                        if "proj" in error_types:
+                            e_errs["proj"][g] = proj(e["R"], e["t"], R_g, t_g, K, pts)
                     for et in error_types:
                         errs[et].append((e["score"], e_errs[et]))
 
@@ -303,7 +412,9 @@ def evaluate_bop(
             w_num += w * per_object[obj_id]
             w_den += w
         out[et] = {"per_object": per_object, "average": float(w_num / max(w_den, 1e-9))}
-    out["AR"] = float(np.mean([out[et]["average"] for et in error_types]))
+    # headline AR stays the BOP19 mean even when extra families are computed
+    ar_types = [et for et in ("vsd", "mssd", "mspd") if et in error_types] or list(error_types)
+    out["AR"] = float(np.mean([out[et]["average"] for et in ar_types]))
     out["n_images"] = n_images_done
     return out
 

@@ -60,6 +60,13 @@ def adi(R_est, t_est, R_gt, t_gt, pts) -> float:
     return float(nn.mean())
 
 
+def proj(R_est, t_est, R_gt, t_gt, K, pts) -> float:
+    """Average 2D projection distance in px (Brachmann et al., CVPR'16;
+    bop_toolkit pose_error.py:225-243)."""
+    d = project_pts(pts, K, R_est, t_est) - project_pts(pts, K, R_gt, t_gt)
+    return float(np.linalg.norm(d, axis=1).mean())
+
+
 def re(R_est, R_gt) -> float:
     """Rotation error in degrees."""
     cos = (np.trace(R_est.T @ R_gt) - 1.0) / 2.0
