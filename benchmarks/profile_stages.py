@@ -94,9 +94,15 @@ def main():
 
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}", flush=True)
     t0 = time.perf_counter()
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, inputs, train=False
+    # jitted init (see bench.py): eager init dispatches thousands of small
+    # ops over the axon relay at a ~4.5ms floor each (~9 min)
+    init_fn = jax.jit(
+        lambda inp: model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, inp, train=False
+        )
     )
+    variables = init_fn(inputs)
+    float(_leaf0(variables))
     print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
     key = jax.random.PRNGKey(2)

@@ -16,9 +16,13 @@ from tests.test_model import IMG, NPTS, NCOARSE, NTEM
 class RecordingWriter:
     def __init__(self):
         self.records = []
+        self.images = []
 
     def write(self, step, metrics):
         self.records.append((step, dict(metrics)))
+
+    def write_image(self, step, tag, img):
+        self.images.append((step, tag, img.shape, img.dtype))
 
 
 class RecordingCkpt:
@@ -35,6 +39,7 @@ def test_train_loop_runs(tmp_path):
     cfg = get_tiny_cfg(IMG, NPTS, NCOARSE, NTEM)
     cfg.train.max_iter = 4
     cfg.train.log_period = 1
+    cfg.train.vis_img_tbx = True
     cfg.train.checkpointer.period = 2
     model = UNOPose.from_config(cfg.model, dtype=jnp.float32, backbone_dtype=jnp.float32)
     data_iter = synthetic_train_iter(8, img_size=IMG, n_pts=NPTS, n_tem=NTEM)
@@ -52,6 +57,30 @@ def test_train_loop_runs(tmp_path):
     assert ckpt.saved == [2, 4]
     lines = open(tmp_path / "metrics.json").read().strip().splitlines()
     assert len(lines) == 4
+    # vis_img_tbx: one denormalized uint8 HWC crop per logged step
+    assert len(writer.images) == 4
+    step0, tag, shape, dtype = writer.images[0]
+    assert tag == "input_image" and shape == (IMG, IMG, 3) and dtype == np.uint8
+
+
+def test_tensorboard_image_histogram(tmp_path):
+    """TensorBoard image/histogram writers (reference my_writer.py:86-105)
+    produce a non-empty event file; MultiWriter dispatches only to writers
+    that support the method."""
+    from unopose_tpu.utils.writer import TensorboardWriter
+
+    w = TensorboardWriter(str(tmp_path / "tb"))
+    w.write(0, {"loss": 1.0})
+    w.write_image(1, "img", np.zeros((8, 8, 3), np.uint8))
+    w.write_histogram(1, "h", np.arange(10.0))
+    w.close()
+    files = list((tmp_path / "tb").glob("events*"))
+    assert files and files[0].stat().st_size > 0
+
+    multi = MultiWriter(JSONWriter(str(tmp_path / "m.json")), RecordingWriter())
+    multi.write_image(0, "img", np.zeros((4, 4, 3), np.uint8))  # no crash
+    multi.write_histogram(0, "h", [1.0])
+    multi.close()
 
 
 def test_collate():

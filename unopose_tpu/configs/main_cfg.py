@@ -41,6 +41,7 @@ def get_cfg() -> CN:
             clip_grad=dict(enabled=False, params=dict(max_norm=35, norm_type=2)),
             seed=1,
             log_period=50,
+            vis_img_tbx=False,  # periodic input-crop images to TensorBoard
             amp=dict(enabled=False),
             amp_dtype="bfloat16",
             backbone_dtype="bfloat16",  # frozen ViT runs bf16 on TPU

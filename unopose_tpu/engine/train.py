@@ -192,6 +192,16 @@ def train_loop(
                 raise FloatingPointError(f"non-finite loss at iteration {it}: {m}")
             m["iter_time"] = (time.perf_counter() - t_last) / (it - last_logged)
             writer.write(it, m)
+            # periodic input-crop visualization (reference engine.py:211-219;
+            # our batches carry no roi_mask — the model consumes masked crops)
+            if cfg.train.get("vis_img_tbx", False) and hasattr(writer, "write_image"):
+                import numpy as np
+
+                from unopose_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+                img = np.asarray(jax.device_get(batch["rgb"][0]), np.float32)
+                img = np.clip((img * IMAGENET_STD + IMAGENET_MEAN) * 255.0, 0, 255).astype(np.uint8)
+                writer.write_image(it, "input_image", img)
             t_last = time.perf_counter()
             last_logged = it
         if checkpointer is not None and ((it + 1) % ckpt_period == 0 or it == max_iter - 1):

@@ -69,6 +69,19 @@ class TensorboardWriter:
         for k, v in metrics.items():
             self.tb.add_scalar(k, float(v), step)
 
+    def write_image(self, step: int, tag: str, img):
+        """img: (H, W, 3) uint8 or float in [0, 1] (reference
+        MyTensorboardXWriter.write image branch, my_writer.py:86-99)."""
+        if self.tb is not None:
+            self.tb.add_image(tag, img, step, dataformats="HWC")
+
+    def write_histogram(self, step: int, tag: str, values):
+        """values: flat array (reference my_writer.py:102-105)."""
+        if self.tb is not None:
+            import numpy as _np
+
+            self.tb.add_histogram(tag, _np.asarray(values).reshape(-1), step)
+
     def close(self):
         if self.tb is not None:
             self.tb.close()
@@ -81,6 +94,16 @@ class MultiWriter:
     def write(self, step: int, metrics: Dict[str, float]):
         for w in self.writers:
             w.write(step, metrics)
+
+    def write_image(self, step: int, tag: str, img):
+        for w in self.writers:
+            if hasattr(w, "write_image"):
+                w.write_image(step, tag, img)
+
+    def write_histogram(self, step: int, tag: str, values):
+        for w in self.writers:
+            if hasattr(w, "write_histogram"):
+                w.write_histogram(step, tag, values)
 
     def close(self):
         for w in self.writers:
