@@ -29,6 +29,44 @@ class GeometricTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, feats0, emb0, feats1, emb1, masks0=None, masks1=None):
+        # Both clouds share every layer's weights, so when their token counts
+        # match (always true in UNOPose: 197/197 sparse, 2049/2049 dense) the
+        # two per-cloud calls stack into ONE 2B-batch call — mathematically
+        # identical, half the kernel launches, and the small 197-token
+        # attention shapes tile the MXU twice as densely. The int8 geo
+        # embedding tuples share one static per-channel scale (see
+        # ops/geo_fused.geo_rpe_fused), so they stack along batch too.
+        t0, t1 = (emb0, emb1) if not isinstance(emb0, tuple) else (emb0[0], emb1[0])
+        stackable = (
+            feats0.shape == feats1.shape
+            and isinstance(emb0, tuple) == isinstance(emb1, tuple)
+            and t0.shape == t1.shape
+            and (not isinstance(emb0, tuple) or emb0[1] is emb1[1])
+            and (masks0 is None) == (masks1 is None)
+        )
+        if stackable:
+            B = feats0.shape[0]
+            x = jnp.concatenate([feats0, feats1], axis=0)
+            emb = (jnp.concatenate([t0, t1], axis=0), emb0[1]) if isinstance(emb0, tuple) else jnp.concatenate(
+                [emb0, emb1], axis=0
+            )
+            masks = None if masks0 is None else jnp.concatenate([masks0, masks1], axis=0)
+            for i, block in enumerate(self.blocks):
+                if block == "self":
+                    layer = RPETransformerLayer(
+                        self.d_model, self.num_heads, self.activation, dtype=self.dtype, name=f"layer{i}"
+                    )
+                    x, _ = layer(x, x, emb, memory_masks=masks)
+                elif block == "cross":
+                    layer = TransformerLayer(
+                        self.d_model, self.num_heads, self.activation, dtype=self.dtype, name=f"layer{i}"
+                    )
+                    mem = jnp.concatenate([x[B:], x[:B]], axis=0)
+                    mmask = None if masks is None else jnp.concatenate([masks[B:], masks[:B]], axis=0)
+                    x, _ = layer(x, mem, memory_masks=mmask)
+                else:
+                    raise ValueError(block)
+            return x[:B], x[B:]
         for i, block in enumerate(self.blocks):
             if block == "self":
                 layer = RPETransformerLayer(
