@@ -31,11 +31,14 @@ class GeometricTransformer(nn.Module):
     def __call__(self, feats0, emb0, feats1, emb1, masks0=None, masks1=None):
         # Both clouds share every layer's weights, so when their token counts
         # match (always true in UNOPose: 197/197 sparse, 2049/2049 dense) the
-        # two per-cloud calls stack into ONE 2B-batch call — mathematically
-        # identical, half the kernel launches, and the small 197-token
-        # attention shapes tile the MXU twice as densely. The int8 geo
-        # embedding tuples share one static per-channel scale (see
-        # ops/geo_fused.geo_rpe_fused), so they stack along batch too.
+        # two per-cloud SELF layers stack into ONE 2B-batch call —
+        # mathematically identical (per-row independent), half the kernel
+        # launches, and the small 197-token attention shapes tile the MXU
+        # twice as densely. The int8 geo embedding tuples share one static
+        # per-channel scale (see ops/geo_fused.geo_rpe_fused), so they stack
+        # along batch too. CROSS layers are inherently sequential in the
+        # reference (parallel=False, transformer.py:502-508: cloud 1 attends
+        # the ALREADY-UPDATED cloud 0), so they stay two per-cloud calls.
         t0, t1 = (emb0, emb1) if not isinstance(emb0, tuple) else (emb0[0], emb1[0])
         stackable = (
             feats0.shape == feats1.shape
@@ -46,7 +49,6 @@ class GeometricTransformer(nn.Module):
         )
         if stackable:
             B = feats0.shape[0]
-            x = jnp.concatenate([feats0, feats1], axis=0)
             emb = (jnp.concatenate([t0, t1], axis=0), emb0[1]) if isinstance(emb0, tuple) else jnp.concatenate(
                 [emb0, emb1], axis=0
             )
@@ -56,17 +58,18 @@ class GeometricTransformer(nn.Module):
                     layer = RPETransformerLayer(
                         self.d_model, self.num_heads, self.activation, dtype=self.dtype, name=f"layer{i}"
                     )
+                    x = jnp.concatenate([feats0, feats1], axis=0)
                     x, _ = layer(x, x, emb, memory_masks=masks)
+                    feats0, feats1 = x[:B], x[B:]
                 elif block == "cross":
                     layer = TransformerLayer(
                         self.d_model, self.num_heads, self.activation, dtype=self.dtype, name=f"layer{i}"
                     )
-                    mem = jnp.concatenate([x[B:], x[:B]], axis=0)
-                    mmask = None if masks is None else jnp.concatenate([masks[B:], masks[:B]], axis=0)
-                    x, _ = layer(x, mem, memory_masks=mmask)
+                    feats0, _ = layer(feats0, feats1, memory_masks=masks1)
+                    feats1, _ = layer(feats1, feats0, memory_masks=masks0)
                 else:
                     raise ValueError(block)
-            return x[:B], x[B:]
+            return feats0, feats1
         for i, block in enumerate(self.blocks):
             if block == "self":
                 layer = RPETransformerLayer(
@@ -135,12 +138,23 @@ class SparseToDenseTransformer(nn.Module):
         dense_layer = LinearTransformerLayer(
             self.d_model, self.num_heads, self.focusing_factor, self.activation, dtype=self.dtype, name="dense_layer"
         )
+        # both clouds share the dense layer's weights and token counts, so the
+        # two per-cloud updates stack into ONE 2B-batch call (mathematically
+        # identical — linear attention normalizes per batch row), matching the
+        # sparse stage's stacking above: half the kernel launches and denser
+        # MXU tiles on the 2048-token GEMMs
+        B = dense_feats0.shape[0]
         if self.with_bg_token and self.replace_bg_token:
-            new0 = dense_layer(dense_feats0[:, 1:], feats0[:, 1:])
-            dense_feats0 = jnp.concatenate([feats0[:, :1], new0], axis=1)
-            new1 = dense_layer(dense_feats1[:, 1:], feats1[:, 1:])
-            dense_feats1 = jnp.concatenate([feats1[:, :1], new1], axis=1)
+            new = dense_layer(
+                jnp.concatenate([dense_feats0[:, 1:], dense_feats1[:, 1:]], axis=0),
+                jnp.concatenate([feats0[:, 1:], feats1[:, 1:]], axis=0),
+            )
+            dense_feats0 = jnp.concatenate([feats0[:, :1], new[:B]], axis=1)
+            dense_feats1 = jnp.concatenate([feats1[:, :1], new[B:]], axis=1)
         else:
-            dense_feats0 = dense_layer(dense_feats0, feats0)
-            dense_feats1 = dense_layer(dense_feats1, feats1)
+            new = dense_layer(
+                jnp.concatenate([dense_feats0, dense_feats1], axis=0),
+                jnp.concatenate([feats0, feats1], axis=0),
+            )
+            dense_feats0, dense_feats1 = new[:B], new[B:]
         return dense_feats0, dense_feats1
