@@ -18,6 +18,7 @@ Only used by tests — the production package never imports reference code.
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 
@@ -26,8 +27,22 @@ import torch
 REF_ROOT = "/root/reference"
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    """A sys.modules-injectable stub with a real ModuleSpec.
+
+    A bare ModuleType has ``__spec__ = None``, which makes
+    ``importlib.util.find_spec(name)`` raise ValueError — transformers
+    probes ``find_spec("detectron2")`` at import time, so a spec-less stub
+    leaves transformers partially initialized (the round-2 order-dependent
+    test_vit_parity ImportError).
+    """
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
+
 def _make_ext_stub() -> types.ModuleType:
-    m = types.ModuleType("core.unopose.model.pointnet2._ext")
+    m = _stub_module("core.unopose.model.pointnet2._ext")
 
     def ball_query(new_xyz, xyz, radius, nsample):
         # (B, P, 3), (B, N, 3) -> (B, P, nsample) int32
@@ -82,9 +97,9 @@ def install_stubs() -> None:
         try:
             import detectron2  # noqa: F401
         except ImportError:
-            d2 = types.ModuleType("detectron2")
-            d2u = types.ModuleType("detectron2.utils")
-            d2l = types.ModuleType("detectron2.utils.logger")
+            d2 = _stub_module("detectron2")
+            d2u = _stub_module("detectron2.utils")
+            d2l = _stub_module("detectron2.utils.logger")
             d2l.log_first_n = lambda *a, **k: None
             d2l.log_every_n = lambda *a, **k: None
             d2.utils = d2u

@@ -372,10 +372,26 @@ def _import_bop_toolkit():
         pytest.skip("vendored bop_toolkit not available")
     if BOP_TOOLKIT not in sys.path:
         sys.path.insert(0, BOP_TOOLKIT)
-    sys.modules.setdefault(
-        "pytz", types.SimpleNamespace(timezone=lambda *a, **k: None, utc=None)
-    )
-    from bop_toolkit_lib import pose_error, pose_matching, score  # noqa: E501
+    # pytz is not installed; the toolkit only needs pytz.timezone/utc at
+    # import time. Install a stub scoped to this import and remove it after:
+    # a lingering spec-less stub in sys.modules breaks transformers' package
+    # probing (importlib.util.find_spec) in later tests (round-2 VERDICT
+    # weak #7 — the order-dependent test_vit_parity ImportError).
+    installed_pytz = False
+    if "pytz" not in sys.modules:
+        import importlib.machinery
+
+        stub = types.ModuleType("pytz")
+        stub.__spec__ = importlib.machinery.ModuleSpec("pytz", None)
+        stub.timezone = lambda *a, **k: None
+        stub.utc = None
+        sys.modules["pytz"] = stub
+        installed_pytz = True
+    try:
+        from bop_toolkit_lib import pose_error, pose_matching, score  # noqa: E501
+    finally:
+        if installed_pytz:
+            sys.modules.pop("pytz", None)
 
     return pose_error, pose_matching, score
 
