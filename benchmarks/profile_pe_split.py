@@ -85,8 +85,11 @@ def main():
     timed("pe_grouping_packed", grp, pts)
 
     # fused kernel only (on pre-computed grouping)
-    g2, w1, overflow = jax.block_until_ready(grp(np.float32(0.0), pts))
+    g2, w1, w2, total2, overflow = jax.block_until_ready(grp(np.float32(0.0), pts))
     print("overflow:", bool(overflow), flush=True)
+    t2 = np.asarray(total2)
+    print(f"total2: max {t2.max()}, mean {t2.mean():.1f}, "
+          f"blocks<=128: {(t2.reshape(t2.shape[0], -1, 64).max(-1) <= 128).mean():.3f}", flush=True)
 
     from unopose_tpu.ops.pe_fused import fold_bn
 
@@ -103,13 +106,13 @@ def main():
         folded[name] = (Ws, bs)
     center = (pts[..., 0], pts[..., 1], pts[..., 2])
 
-    def kernel_only(e, g2_, w1_, c, f):
+    def kernel_only(e, g2_, w1_, w2_, t2_, c, f):
         c = tuple(q + e for q in c)
         return pe_fused_packed(
-            g2_, w1_, c, *f["mlp1"], *f["mlp2"], 0.1, 0.2, interpret=False
+            g2_, w1_, w2_, t2_, c, *f["mlp1"], *f["mlp2"], 0.1, 0.2, interpret=False
         )
 
-    timed("pe_fused_packed_kernel", jax.jit(kernel_only), g2, w1, center, folded)
+    timed("pe_fused_packed_kernel", jax.jit(kernel_only), g2, w1, w2, total2, center, folded)
 
     # final Dense 256->256 projection
     W3 = pe_vars["params"]["mlp3"]["kernel"]

@@ -78,7 +78,7 @@ def main():
     )
 
     # 2. fused MLP kernel alone on pre-grouped inputs
-    g2, w1, _ = jax.jit(lambda p: two_scale_group_first_k_packed(0.1, 64, 0.2, 256, p))(pts)
+    g2, w1, *_ = jax.jit(lambda p: two_scale_group_first_k_packed(0.1, 64, 0.2, 256, p))(pts)
     g2 = tuple(np.asarray(g) for g in g2)
     w1 = np.asarray(w1)
     center = tuple(np.asarray(pts[..., i]) for i in range(3))
@@ -87,8 +87,11 @@ def main():
     Ws2 = [w.copy() for w in Ws1]
     bs2 = [b.copy() for b in bs1]
 
+    w2f = jnp.ones_like(w1)  # full-path flag: measure the pre-fast-path kernel
+    t2f = jnp.full(w1.shape[:2], w1.shape[-1], jnp.int32)
+
     def run_kernel(e, gx, gy, gz, w1a, cx, cy, cz):
-        return pe_fused_packed((gx + e, gy, gz), w1a, (cx, cy, cz), Ws1, bs1, Ws2, bs2, 0.1, 0.2)
+        return pe_fused_packed((gx + e, gy, gz), w1a, w2f, t2f, (cx, cy, cz), Ws1, bs1, Ws2, bs2, 0.1, 0.2)
 
     timed("pe_kernel_2Bx2048", run_kernel, *g2, w1, *center)
 

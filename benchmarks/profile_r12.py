@@ -92,15 +92,18 @@ def main():
     )
 
     # 4. fused MLP kernel with DEVICE-resident grouped inputs
-    g2, w1, _ = jax.jit(lambda p: bq.two_scale_group_first_k_packed(r1, k1, r2, k2, p))(pts)
+    g2, w1, *_ = jax.jit(lambda p: bq.two_scale_group_first_k_packed(r1, k1, r2, k2, p))(pts)
     g2 = tuple(jax.device_put(g) for g in g2)
     w1 = jax.device_put(w1)
     center = tuple(jax.device_put(pts[..., i]) for i in range(3))
     Ws1 = [jax.device_put(jnp.asarray(rng.standard_normal((c, d)).astype(np.float32) * 0.1)) for c, d in ((6, 32), (32, 64), (64, 128))]
     bs1 = [jax.device_put(jnp.asarray(rng.standard_normal((d,)).astype(np.float32) * 0.01)) for d in (32, 64, 128)]
 
+    w2f = jnp.ones_like(w1)  # full-path flag: measure the pre-fast-path kernel
+    t2f = jnp.full(w1.shape[:2], w1.shape[-1], jnp.int32)
+
     def run_kernel(e, gx, gy, gz, w1a, cx, cy, cz):
-        return pe_fused_packed((gx + e, gy, gz), w1a, (cx, cy, cz), Ws1, bs1, Ws1, bs1, r1, r2)
+        return pe_fused_packed((gx + e, gy, gz), w1a, w2f, t2f, (cx, cy, cz), Ws1, bs1, Ws1, bs1, r1, r2)
 
     timed("pe_kernel_dev", run_kernel, *g2, w1, *center)
 

@@ -103,7 +103,7 @@ def main():
     )
 
     # fused PE kernel alone on a precomputed grouping
-    g2, w1, _ = jax.jit(lambda p: two_scale_group_first_k_packed(R1, K1, R2, K2, p))(pts)
+    g2, w1, *_ = jax.jit(lambda p: two_scale_group_first_k_packed(R1, K1, R2, K2, p))(pts)
     cx, cy, cz = pts[..., 0], pts[..., 1], pts[..., 2]
     rngk = jax.random.PRNGKey(0)
     Ws1, bs1, Ws2, bs2 = [], [], [], []
@@ -115,10 +115,12 @@ def main():
         Ws2.append(jax.random.normal(k2a, (cin, d)) * 0.1)
         bs2.append(jnp.zeros(d))
         cin = d
+    w2f = jnp.ones_like(w1)  # full-path flag: measure the pre-fast-path kernel
+    t2f = jnp.full(w1.shape[:2], w1.shape[-1], jnp.int32)
     timed(
         "pe_fused_packed_kernel",
         lambda e, a, b, c, w, x, y, z: pe_fused_packed(
-            (a + e, b, c), w, (x, y, z), Ws1, bs1, Ws2, bs2, R1, R2
+            (a + e, b, c), w, w2f, t2f, (x, y, z), Ws1, bs1, Ws2, bs2, R1, R2
         ),
         *g2, w1, cx, cy, cz,
     )

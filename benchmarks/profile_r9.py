@@ -91,7 +91,7 @@ def main():
     for pb in (32, 64, 128):
         timed(
             f"pe_fused_packed_pblk{pb}",
-            lambda e, a, b, c, w: pe_fused_packed((a + e, b, c), w, (cx, cy, cz), Ws1, bs1, Ws2, bs2, R1, R2, p_blk=pb),
+            lambda e, a, b, c, w: pe_fused_packed((a + e, b, c), w, jnp.ones_like(w), jnp.full(w.shape[:2], w.shape[-1], jnp.int32), (cx, cy, cz), Ws1, bs1, Ws2, bs2, R1, R2, p_blk=pb),
             *g2, w1,
         )
 

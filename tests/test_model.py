@@ -484,6 +484,50 @@ def test_fine_pe_firstk_packed_matches_materialized(rng):
     assert np.quantile(errf, 0.95) < 8e-2, np.quantile(errf, 0.95)
 
 
+def test_fine_pe_firstk_packed_mixed_block_paths(rng):
+    """The fused packed kernel picks fast (half-budget, cross-scale packed)
+    vs full per point-block. Build a cloud where a dense-but-not-overflowing
+    cluster forces FULL blocks (total2 > 128) while sparse points take FAST
+    blocks, and check both against the materialized exact reference."""
+    from unopose_tpu.models.matching import FinePositionalEncoding
+    from unopose_tpu.ops.ball_query import two_scale_group_first_k_packed
+
+    N = 512
+    kw = dict(out_dim=32, r1=0.12, r2=0.24, nsample1=64, nsample2=256, neighbor_mode="first_k")
+    # 160 points evenly spaced on a radius-0.115 ring far from the base
+    # shell: every ring pair is within r2=0.24 (total2 = 160 > 128 -> FULL
+    # blocks) but only ~35% are within r1=0.12 (cnt1 ~ 56 < 64 -> no
+    # overflow); the base shell keeps sparse FAST neighborhoods
+    v = rng.normal(size=(1, N, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    base = 0.5 * v + rng.normal(size=(1, N, 3)) * 2e-3
+    th = np.linspace(0, 2 * np.pi, 160, endpoint=False)
+    ring = np.stack([0.115 * np.cos(th), 0.115 * np.sin(th), np.zeros_like(th)], -1)
+    ring = ring + rng.normal(size=ring.shape) * 3e-3  # break the ring symmetry (LRF frames)
+    base[:, :160] = np.array([2.0, 2.0, 2.0]) + ring  # far from the shell
+    pts = jnp.asarray(base.astype(np.float32))
+
+    g2, w1, w2, total2, overflow = two_scale_group_first_k_packed(
+        kw["r1"], kw["nsample1"], kw["r2"], kw["nsample2"], pts
+    )
+    assert not bool(overflow)
+    t2 = np.asarray(total2).reshape(1, -1, 64).max(-1)
+    assert (t2 > 128).any() and (t2 <= 128).any(), t2  # both branches exercised
+
+    pe_fus = FinePositionalEncoding(fused=True, **kw)
+    variables = pe_fus.init(jax.random.PRNGKey(0), pts, train=False)
+    stats = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.arange(x.size, dtype=x.dtype) / x.size, variables["batch_stats"]
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(_pe_firstk_reference(variables, pts, kw))
+    got = np.asarray(pe_fus.apply(variables, pts, train=False))
+    err = np.abs(got - want).max(-1)
+    assert np.median(err) < 2e-2, np.median(err)
+    assert np.quantile(err, 0.95) < 8e-2, np.quantile(err, 0.95)
+
+
 def test_fine_pe_firstk_packed_overflow_branch(rng):
     """A dense degenerate cloud overflows every budget: the packed path must
     take the exact-path cond branch and still match the reference."""
@@ -496,7 +540,7 @@ def test_fine_pe_firstk_packed_overflow_branch(rng):
 
     from unopose_tpu.ops.ball_query import two_scale_group_first_k_packed
 
-    _, _, overflow = two_scale_group_first_k_packed(kw["r1"], 64, kw["r2"], 256, pts)
+    *_, overflow = two_scale_group_first_k_packed(kw["r1"], 64, kw["r2"], 256, pts)
     assert bool(overflow)
 
     want = np.asarray(_pe_firstk_reference(variables, pts, kw))

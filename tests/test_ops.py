@@ -505,16 +505,19 @@ def test_first_k_packed_weights_match_oracle(rng):
     pts_np = (0.5 * v + rng.normal(size=(B, N, 3)) * 2e-3).astype(np.float32)
     pts = jnp.asarray(pts_np)
 
-    g2, w1, overflow = jax.jit(
+    g2, w1, w2, total2, overflow = jax.jit(
         lambda p: two_scale_group_first_k_packed(R1, K1, R2, K2, p)
     )(pts)
     assert not bool(overflow)
     w1 = np.asarray(w1)
+    w2 = np.asarray(w2)
+    total2 = np.asarray(total2)
     gx, gy, gz = (np.asarray(g) for g in g2)
 
     # numpy oracle: reference CUDA semantics per row
     d2 = ((pts_np[:, :, None, :] - pts_np[:, None, :, :]) ** 2).sum(-1)
     m1 = d2 < R1 * R1
+    m2full = d2 < R2 * R2
     for b in range(B):
         for n in range(0, N, 37):
             hits = np.nonzero(m1[b, n])[0]
@@ -526,11 +529,28 @@ def test_first_k_packed_weights_match_oracle(rng):
             )
             got_w = w1[b, n]
             assert got_w.sum() == K1
-            # weighted moment comparison (order-free multiset equality)
             got = np.stack([gx[b, n], gy[b, n], gz[b, n]], -1)
+            # global compaction: every hit-carrying slot (either scale) is in
+            # the first total2 slots — the PE kernel's half-budget fast path
+            # relies on this
+            t2 = total2[b, n]
+            assert (got_w[t2:] == 0).all() and (w2[b, n, t2:] == 0).all()
+            hits2 = np.nonzero(m2full[b, n])[0]
+            assert t2 == len(hits2)
+            # scale-2 multiset: hits + (K2 - cnt2) x first hit
+            ref2 = pts_np[b, hits2]
+            ref2_multiset = np.concatenate(
+                [ref2, np.repeat(pts_np[b, hits2[:1]], K2 - len(hits2), axis=0)], axis=0
+            )
+            got_w2 = w2[b, n]
+            assert got_w2.sum() == K2
+            # weighted moment comparison (order-free multiset equality)
             for mom in (lambda p: p, lambda p: p**2, lambda p: p**3):
                 np.testing.assert_allclose(
                     (mom(got) * got_w[:, None]).sum(0), mom(ref_multiset).sum(0), rtol=1e-4, atol=1e-6
+                )
+                np.testing.assert_allclose(
+                    (mom(got) * got_w2[:, None]).sum(0), mom(ref2_multiset).sum(0), rtol=1e-4, atol=1e-6
                 )
 
 
@@ -540,7 +560,7 @@ def test_first_k_packed_overflow_flag(rng):
     from unopose_tpu.ops.ball_query import two_scale_group_first_k_packed
 
     pts = jnp.asarray(rng.uniform(-0.01, 0.01, size=(1, 512, 3)).astype(np.float32))
-    _, _, overflow = jax.jit(
+    *_, overflow = jax.jit(
         lambda p: two_scale_group_first_k_packed(0.5, 64, 1.0, 256, p)
     )(pts)
     assert bool(overflow)

@@ -206,14 +206,14 @@ def pe_packed_firstk_path(m: "FinePositionalEncoding", pts, center, use_kernel: 
     from unopose_tpu.ops.pe_fused import pe_fused_packed
 
     folded = _pe_folded_params(m)
-    g2, w1, overflow = two_scale_group_first_k_packed(
+    g2, w1, w2, total2, overflow = two_scale_group_first_k_packed(
         m.r1, m.nsample1, m.r2, m.nsample2, pts
     )
 
     def fast(pts):
         if use_kernel:
             return pe_fused_packed(
-                g2, w1, center,
+                g2, w1, w2, total2, center,
                 *folded["mlp1"], *folded["mlp2"],
                 m.r1, m.r2, interpret=not on_tpu,
             )

@@ -182,6 +182,7 @@ def _first_k_keys_pallas(
     rows: int = 256,
     interpret: bool = False,
     compact: int = 0,
+    global_compact: bool = False,
 ):
     """Fused production of the chunked first_k sort keys + counts in VMEM.
 
@@ -237,10 +238,13 @@ def _first_k_keys_pallas(
     cz = pts[..., 2][..., None]
 
     def kernel(cx_ref, cy_ref, cz_ref, cpts_ref, cand_ref, permv_ref, *refs):
-        if compact:
+        if global_compact:
+            lt_ref, ltg_ref, key_ref, ccnt_ref, aux_ref = refs
+        elif compact:
             lt_ref, key_ref, ccnt_ref, aux_ref = refs
         else:
             key_ref, ccnt_ref, aux_ref = refs
+        payloads = []  # global_compact: per-chunk compacted payload columns
         x = cx_ref[0]  # (rows, 1)
         y = cy_ref[0]
         z = cz_ref[0]
@@ -327,7 +331,10 @@ def _first_k_keys_pallas(
                     stay = (work & s) == 0  # empties (0) "stay" as empties
                     work = jnp.where(move_in, w_in - s, jnp.where(stay, work, 0))
                     s *= 2
-                key_ref[0, c] = (work[:, :compact] >> dbits).astype(jnp.int16)
+                if global_compact:
+                    payloads.append(work[:, :compact] >> dbits)
+                else:
+                    key_ref[0, c] = (work[:, :compact] >> dbits).astype(jnp.int16)
             else:
                 key = W - wiota + jnp.where(m2, 2 * W, 0) + jnp.where(m1, 4 * W, 0)
                 key_ref[0, c] = key.astype(jnp.int16)
@@ -337,6 +344,34 @@ def _first_k_keys_pallas(
             first2 = jnp.minimum(first2, jnp.min(jnp.where(m2, pv, big), axis=1, keepdims=True))
             enc1 = jnp.minimum(enc1, jnp.min(jnp.where(m1, pv_enc, big_enc), axis=1, keepdims=True))
             cnt1 = cnt1 + jnp.sum(m1.astype(jnp.int32), axis=1, keepdims=True)
+        if global_compact:
+            # second-stage GLOBAL compaction across chunks: the decorrelating
+            # permutation spreads every neighborhood's hits ~uniformly over
+            # the C chunk groups, so the chunked layout leaves each group
+            # half-empty. One more stable rank+shift pass (k2 lanes, same
+            # construction as the per-chunk one) packs all valid hits to the
+            # leftmost slots — a prerequisite for the PE kernel's per-block
+            # half-budget fast path (ops/pe_fused.py).
+            k2 = C * compact
+            pay = jnp.concatenate(payloads, axis=1)  # (rows, k2) int32
+            valid = (pay & 1) == 1
+            grank = jax.lax.dot_general(
+                valid.astype(jnp.bfloat16),
+                ltg_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # inclusive valid count up to each lane (<= k2, exact)
+            giota = jax.lax.broadcasted_iota(jnp.int32, (rows, k2), 1)
+            gbits = (k2 - 1).bit_length()
+            gwork = jnp.where(valid, (pay << gbits) | (giota - (grank - 1)), 0)
+            s = 1
+            while s < k2:
+                w_in = pltpu.roll(gwork, k2 - s, axis=1)
+                move_in = ((w_in & s) != 0) & (giota < k2 - s)
+                stay = (gwork & s) == 0
+                gwork = jnp.where(move_in, w_in - s, jnp.where(stay, gwork, 0))
+                s *= 2
+            key_ref[0] = (gwork >> gbits).astype(jnp.int16)
         ccnt_ref[0] = jnp.concatenate(ccols, axis=1)
         aux_ref[0] = jnp.concatenate([cnt1, first2, enc1, jnp.zeros((rows, 1), jnp.int32)], axis=1)
 
@@ -356,10 +391,18 @@ def _first_k_keys_pallas(
         lt = jnp.asarray(np.tril(np.ones((W, W), np.float32)).T, jnp.bfloat16)
         in_specs.append(pl.BlockSpec((W, W), lambda b, j: (0, 0), memory_space=pltpu.VMEM))
         inputs.append(lt)
-        key_spec = pl.BlockSpec((1, C, rows, compact), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
-        # int16 payload (pos*4|m1*2|valid <= 4N-1 <= 16383): halves the
-        # select tensor's HBM round trip on the bandwidth-bound chip
-        key_shape = jax.ShapeDtypeStruct((B, C, N, compact), jnp.int16)
+        if global_compact:
+            k2 = C * compact
+            ltg = jnp.asarray(np.tril(np.ones((k2, k2), np.float32)).T, jnp.bfloat16)
+            in_specs.append(pl.BlockSpec((k2, k2), lambda b, j: (0, 0), memory_space=pltpu.VMEM))
+            inputs.append(ltg)
+            key_spec = pl.BlockSpec((1, rows, k2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+            key_shape = jax.ShapeDtypeStruct((B, N, k2), jnp.int16)
+        else:
+            key_spec = pl.BlockSpec((1, C, rows, compact), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
+            # int16 payload (pos*4|m1*2|valid <= 4N-1 <= 16383): halves the
+            # select tensor's HBM round trip on the bandwidth-bound chip
+            key_shape = jax.ShapeDtypeStruct((B, C, N, compact), jnp.int16)
     else:
         key_spec = pl.BlockSpec((1, C, rows, W), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
         key_shape = jax.ShapeDtypeStruct((B, C, N, W), jnp.int16)
@@ -391,10 +434,16 @@ def _first_k_budget_select(
     chunks: int,
     fused_keys: bool | None,
     interpret: bool,
+    global_compact: bool = False,
 ):
     """Shared keys -> budget sort -> decode -> pad fill -> g2 gather of the
     sort-free first_k groupings. Returns a dict with the scale-2 grouping and
-    everything the scale-1 consumers (materialized or packed) need."""
+    everything the scale-1 consumers (materialized or packed) need.
+
+    ``global_compact``: compact all valid hits to the leftmost slots across
+    chunk groups (stable, so both backends produce the same slot order) and
+    return per-point totals — the packed PE kernel's half-budget fast path
+    needs every hit in the first half."""
     from unopose_tpu.ops.gather_pallas import gather_planar
 
     pts = pts.astype(jnp.float32)
@@ -424,18 +473,24 @@ def _first_k_budget_select(
         # ever touch HBM, and the XLA budget sort (~9 ms/batch) disappears
         # (see _first_k_keys_pallas compact mode)
         sel, ccnt, aux = _first_k_keys_pallas(
-            r1, r2, pts, pts_p, perm, C, interpret=interpret, compact=budget
+            r1, r2, pts, pts_p, perm, C, interpret=interpret, compact=budget,
+            global_compact=global_compact,
         )
         total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
         cnt1 = aux[..., 0]
         first2_orig = aux[..., 1]
         enc1 = aux[..., 2]
-        sel = jnp.moveaxis(sel, 1, 2)  # (B, N, C, budget) int16
-        validslot = (sel & 1) == 1
-        m1slot = (sel & 2) != 0
-        idx_p = (sel >> 2).reshape(B, N, k2)  # int16: N <= 4096
-        validslot = validslot.reshape(B, N, k2)
-        m1slot = m1slot.reshape(B, N, k2)
+        if global_compact:
+            validslot = (sel & 1) == 1  # already (B, N, k2), hits leftmost
+            m1slot = (sel & 2) != 0
+            idx_p = sel >> 2  # int16: N <= 4096
+        else:
+            sel = jnp.moveaxis(sel, 1, 2)  # (B, N, C, budget) int16
+            validslot = (sel & 1) == 1
+            m1slot = (sel & 2) != 0
+            idx_p = (sel >> 2).reshape(B, N, k2)  # int16: N <= 4096
+            validslot = validslot.reshape(B, N, k2)
+            m1slot = m1slot.reshape(B, N, k2)
     else:
         d2 = pairwise_sqdist(pts, pts_p)  # (B, P, N) columns in permuted order
         mask2 = d2 < r2 * r2
@@ -472,6 +527,13 @@ def _first_k_budget_select(
         idx_p = (jnp.arange(C, dtype=jnp.int32)[None, None, :, None] * W + w).reshape(B, N, k2)
         validslot = validslot.reshape(B, N, k2)
         m1slot = m1slot.reshape(B, N, k2)
+        if global_compact:
+            # stable left-compaction of valid slots (XLA mirror of the
+            # kernel's rank+shift pass — same order, testable in interpret)
+            order = jnp.argsort(~validslot, axis=-1, stable=True)
+            idx_p = jnp.take_along_axis(idx_p, order, axis=-1)
+            m1slot = jnp.take_along_axis(m1slot, order, axis=-1)
+            validslot = jnp.take_along_axis(validslot, order, axis=-1)
 
     # pad with the first-by-original-index hit (CUDA reference padding);
     # zero-hit rows keep original point 0
@@ -488,6 +550,8 @@ def _first_k_budget_select(
         m1slot=m1slot,
         cnt1=cnt1,
         enc1=enc1,
+        total2=total2,
+        q_first=q_first,
         overflow=overflow,
         xp=xp,
         yp=yp,
@@ -522,14 +586,27 @@ def two_scale_group_first_k_packed(
                w1 = m1 + (slot == first1) * (k1 - cnt1)
 
     The self point is always an r1 hit (d2 = 0), so cnt1 >= 1 and the
-    zero-hit pad rule never fires. Returns (g2 (3 x (B, N, k2) pad-filled
-    planes), w1 (B, N, k2) float32, overflow bool). On overflow (chunk budget
-    exceeded / total2 > k2 / cnt1 > k1) THE FAST OUTPUTS ARE INVALID — the
-    caller must branch to two_scale_group_exact_planar-based computation
-    (a grouping-level fallback cannot express scale 1's independent
-    truncation, which may select r1 hits outside scale 2's kept slots).
+    zero-hit pad rule never fires. Slots are GLOBALLY COMPACTED (all hits
+    leftmost, pads after) so a consumer whose neighborhoods all fit in
+    k2/2 hits can process half the slots (ops/pe_fused.py fast path).
+
+    Returns (g2 (3 x (B, N, k2) pad-filled planes),
+             w1 (B, N, k2) bf16 scale-1 multiset weights,
+             w2 (B, N, k2) bf16 scale-2 multiset weights — 1 per hit plus
+                the (k2 - total2) pad mass as a bump on the scan-first hit's
+                slot, so weighted moment sums over ANY prefix containing all
+                hits equal the reference's sums over all k2 pad-filled slots,
+             total2 (B, N) int32 r2 hit counts,
+             overflow bool).
+    On overflow (chunk budget exceeded / total2 > k2 / cnt1 > k1) THE FAST
+    OUTPUTS ARE INVALID — the caller must branch to
+    two_scale_group_exact_planar-based computation (a grouping-level
+    fallback cannot express scale 1's independent truncation, which may
+    select r1 hits outside scale 2's kept slots).
     """
-    sel = _first_k_budget_select(r1, k1, r2, k2, pts, chunks, fused_keys, interpret)
+    sel = _first_k_budget_select(
+        r1, k1, r2, k2, pts, chunks, fused_keys, interpret, global_compact=True
+    )
     first1_pp = sel["enc1"] & 4095  # permuted position of the scan-first r1 hit
     npads1 = (k1 - sel["cnt1"]).astype(jnp.float32)  # >= 0 when not overflowed
     bump = (
@@ -539,7 +616,15 @@ def two_scale_group_first_k_packed(
     # with first1_pp when first1 == first2 — pads carry m1slot == False.
     # bf16 weights: multiplicities <= 1 + k1 are exact, half the HBM bytes
     w1 = jnp.where(sel["m1slot"], 1.0 + bump, 0.0).astype(jnp.bfloat16)
-    return sel["g2"], w1, sel["overflow"]
+    # scale-2 weights: every valid slot once + the pad mass on the scan-first
+    # hit's slot (pads duplicate it, so reference sums = hits + npads2*first2;
+    # exactly one VALID slot holds q_first — pad slots also hold it but carry
+    # validslot == False). Multiplicities <= 1 + k2 - 1 = 256: bf16-exact.
+    bump2 = (
+        sel["idx_p"].astype(jnp.int32) == sel["q_first"][..., None]
+    ).astype(jnp.float32) * (k2 - sel["total2"]).astype(jnp.float32)[..., None]
+    w2 = jnp.where(sel["validslot"], 1.0 + bump2, 0.0).astype(jnp.bfloat16)
+    return sel["g2"], w1, w2, sel["total2"], sel["overflow"]
 
 
 def two_scale_group_first_k_fast(

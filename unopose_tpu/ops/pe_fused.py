@@ -245,45 +245,95 @@ def pe_fused(
 
 
 def _pe_kernel_packed(
-    g2x_ref, g2y_ref, g2z_ref, w1m_ref,
+    qual_ref,
+    g2x_ref, g2y_ref, g2z_ref, w1m_ref, w2m_ref,
     cx_ref, cy_ref, cz_ref,
     w10_ref, w11_ref, w12_ref, b10_ref, b11_ref, b12_ref,
     w20_ref, w21_ref, w22_ref, b20_ref, b21_ref, b22_ref,
+    wx0_ref, wx1_ref, wx2_ref, bx0_ref, bx1_ref, bx2_ref,
     out_ref, *, r1: float, r2: float, p_blk: int, s2: int,
 ):
-    """Per-scale 2-way sample-pair-packed processing of the SHARED scale-2
-    slots. (A 4-way scale+half block-diagonal variant measured ~12 ms
-    SLOWER at the operating point: the four slice/reshape relayouts of the
-    channel stacks dominate whatever MXU depth it recovers.)"""
+    """Two paths, chosen per point-block by the prefetched ``qual`` flag:
+
+    FAST (every neighborhood in the block has <= s2/2 hits — the common case
+    on real surface clouds, measured max 145/256): the slots are globally
+    compacted (hits leftmost), so both scales need only the first s2/2 slots
+    — the pad mass rides the w2 bump weight. The two SCALES pack as the
+    channel groups of ONE block-diagonal MLP pipeline over s2/2 columns:
+    half the MXU passes and half the VPU elementwise of the full path.
+
+    FULL (any neighborhood spills into the second half): per-scale 2-way
+    sample-pair-packed processing of all s2 slots, as before. (A 4-way
+    scale+half block-diagonal variant measured ~12 ms SLOWER at the
+    operating point: the four slice/reshape relayouts of the channel
+    stacks dominate whatever MXU depth it recovers.)"""
     cx = cx_ref[0]
     cy = cy_ref[0]
     cz = cz_ref[0]
-    rx = g2x_ref[0] - cx  # relative coords shared by BOTH scales
-    ry = g2y_ref[0] - cy
-    rz = g2z_ref[0] - cz
-    # weights arrive bf16 (half the HBM read); upcast once in VMEM —
-    # Mosaic rejects bf16 vector compares in packed layouts
-    m1 = w1m_ref[0].astype(jnp.float32)
-    # scale 1: float WEIGHTS (multiset multiplicities — r1 hits get 1, the
-    # scan-first r1 hit carries the +(k1-cnt1) pad bump) drive the LRF sums;
-    # the max-pool multiply-masks on weight > 0
-    f1 = _scale_block(
-        rx, ry, rz, m1, r1,
-        (w10_ref[...], w11_ref[...], w12_ref[...]),
-        (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s2, pack=True, lrf_m=m1,
-    )
-    # scale 2: pad slots are materialized first-hit duplicates — unmasked
-    f2 = _scale_block(
-        rx, ry, rz, None, r2,
-        (w20_ref[...], w21_ref[...], w22_ref[...]),
-        (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s2, pack=True,
-    )
-    out_ref[0] = jnp.concatenate([f1, f2], axis=0).T
+    h2 = s2 // 2
+    # whole flag array lives in SMEM (Mosaic rejects sub-(8,128) VMEM blocks)
+    qual = qual_ref[pl.program_id(0), pl.program_id(1)]
+
+    @pl.when(qual != 0)
+    def _fast():
+        rx = g2x_ref[0, :, :h2] - cx  # only the compacted first half
+        ry = g2y_ref[0, :, :h2] - cy
+        rz = g2z_ref[0, :, :h2] - cz
+        m1 = w1m_ref[0, :, :h2].astype(jnp.float32)
+        m2 = w2m_ref[0, :, :h2].astype(jnp.float32)
+        l1 = _masked_lrf_block(rx, ry, rz, m1, r1)
+        l2 = _masked_lrf_block(rx, ry, rz, m2, r2)
+        chans = jnp.stack([rx, ry, rz, *l1, rx, ry, rz, *l2], axis=0)  # (12, p_blk, h2)
+        h = chans.reshape(12, p_blk * h2).astype(jnp.bfloat16)
+        for W, b in (
+            (wx0_ref[...], bx0_ref[...]),
+            (wx1_ref[...], bx1_ref[...]),
+            (wx2_ref[...], bx2_ref[...]),
+        ):
+            z = jax.lax.dot_general(
+                W.astype(jnp.bfloat16), h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h = jnp.maximum(z + b, 0.0).astype(jnp.bfloat16)
+        mb1 = (m1 > 0.0).astype(jnp.bfloat16)
+        mb2 = (m2 > 0.0).astype(jnp.bfloat16)
+        za = h[:128].reshape(128, p_blk, h2) * mb1[None]
+        zb = h[128:].reshape(128, p_blk, h2) * mb2[None]
+        f1 = jnp.max(za, axis=2).astype(jnp.float32)
+        f2 = jnp.max(zb, axis=2).astype(jnp.float32)
+        out_ref[0] = jnp.concatenate([f1, f2], axis=0).T
+
+    @pl.when(qual == 0)
+    def _full():
+        rx = g2x_ref[0] - cx  # relative coords shared by BOTH scales
+        ry = g2y_ref[0] - cy
+        rz = g2z_ref[0] - cz
+        # weights arrive bf16 (half the HBM read); upcast once in VMEM —
+        # Mosaic rejects bf16 vector compares in packed layouts
+        m1 = w1m_ref[0].astype(jnp.float32)
+        # scale 1: float WEIGHTS (multiset multiplicities — r1 hits get 1,
+        # the scan-first r1 hit carries the +(k1-cnt1) pad bump) drive the
+        # LRF sums; the max-pool multiply-masks on weight > 0
+        f1 = _scale_block(
+            rx, ry, rz, m1, r1,
+            (w10_ref[...], w11_ref[...], w12_ref[...]),
+            (b10_ref[...], b11_ref[...], b12_ref[...]), p_blk, s2, pack=True, lrf_m=m1,
+        )
+        # scale 2: pad slots are materialized first-hit duplicates — unmasked
+        f2 = _scale_block(
+            rx, ry, rz, None, r2,
+            (w20_ref[...], w21_ref[...], w22_ref[...]),
+            (b20_ref[...], b21_ref[...], b22_ref[...]), p_blk, s2, pack=True,
+        )
+        out_ref[0] = jnp.concatenate([f1, f2], axis=0).T
 
 
 def pe_fused_packed(
     grouped2,  # (g2x, g2y, g2z) each (B, P, S2): scale-2 slots, pad-filled
-    w1,  # (B, P, S2) float32 scale-1 multiset weights (0 = not an r1 hit)
+    w1,  # (B, P, S2) bf16 scale-1 multiset weights (0 = not an r1 hit)
+    w2,  # (B, P, S2) bf16 scale-2 multiset weights (hits + pad-mass bump)
+    total2,  # (B, P) int32 r2 hit counts (for the per-block fast-path flag)
     center,  # (cx, cy, cz) each (B, P)
     w1_mlp: Sequence[jnp.ndarray],
     b1_mlp: Sequence[jnp.ndarray],
@@ -296,9 +346,11 @@ def pe_fused_packed(
 ) -> jnp.ndarray:
     """Fused two-scale first_k PE on the PACKED grouping
     (ops/ball_query.two_scale_group_first_k_packed): both scales share scale
-    2's compacted slots — scale 1 is its per-slot multiset weights, so the
-    separate (B, P, S1) materialization, its k2-wide selection sort and its
-    extra HBM round trip all disappear. Returns (B, P, 256) float32."""
+    2's globally-compacted slots — scale 1 is its per-slot multiset weights,
+    so the separate (B, P, S1) materialization, its k2-wide selection sort
+    and its extra HBM round trip all disappear. Point-blocks whose
+    neighborhoods all fit in S2/2 hits take a half-budget cross-scale-packed
+    path (see _pe_kernel_packed). Returns (B, P, 256) float32."""
     g2 = tuple(g.astype(jnp.float32) for g in grouped2)
     cx, cy, cz = (c.astype(jnp.float32)[..., None] for c in center)
     B, P, S2 = g2[0].shape
@@ -306,36 +358,51 @@ def pe_fused_packed(
     m1 = w1  # native dtype (bf16 from the packed grouping): the kernel
     # upcasts per-op; an XLA-side astype would round-trip 67MB through HBM
 
+    # per-block fast-path flag: every hit of every neighborhood must live in
+    # the compacted first half (hits are leftmost, so total2 <= S2/2 suffices)
+    qual = (
+        jnp.max(total2.reshape(B, P // p_blk, p_blk), axis=-1) <= S2 // 2
+    ).astype(jnp.int32)
+
     grid = (B, P // p_blk)
     blk_s2 = pl.BlockSpec((1, p_blk, S2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
     blk2 = pl.BlockSpec((1, p_blk, 1), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    qual_spec = pl.BlockSpec(qual.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
-    def prep(Ws, bs):
+    def prep(WA, bA, WB, bB):
+        # block-diagonal 2-way pack: channel group A | channel group B
         Ws = [
             jnp.concatenate(
                 [
-                    jnp.concatenate([W, jnp.zeros_like(W)], axis=1),
-                    jnp.concatenate([jnp.zeros_like(W), W], axis=1),
+                    jnp.concatenate([Wa, jnp.zeros_like(Wb)], axis=1),
+                    jnp.concatenate([jnp.zeros_like(Wa), Wb], axis=1),
                 ],
                 axis=0,
             )
-            for W in Ws
+            for Wa, Wb in zip(WA, WB)
         ]
-        bs = [jnp.tile(b.reshape(-1, 1), (2, 1)) for b in bs]
+        bs = [
+            jnp.concatenate([ba.reshape(-1, 1), bb.reshape(-1, 1)], axis=0)
+            for ba, bb in zip(bA, bB)
+        ]
         return [*Ws, *bs]
 
-    weights = prep(w1_mlp, b1_mlp) + prep(w2_mlp, b2_mlp)
+    weights = (
+        prep(w1_mlp, b1_mlp, w1_mlp, b1_mlp)  # full path scale 1: half | half
+        + prep(w2_mlp, b2_mlp, w2_mlp, b2_mlp)  # full path scale 2: half | half
+        + prep(w1_mlp, b1_mlp, w2_mlp, b2_mlp)  # fast path: scale 1 | scale 2
+    )
     weights = [w.astype(jnp.float32) for w in weights]
     kernel = functools.partial(_pe_kernel_packed, r1=float(r1), r2=float(r2), p_blk=p_blk, s2=S2)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk_s2] * 4 + [blk2] * 3 + [full(w) for w in weights],
+        in_specs=[qual_spec] + [blk_s2] * 5 + [blk2] * 3 + [full(w) for w in weights],
         out_specs=pl.BlockSpec((1, p_blk, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
         interpret=interpret,
-    )(*g2, m1, cx, cy, cz, *weights)
+    )(qual, *g2, m1, w2, cx, cy, cz, *weights)
     return out
 
 
