@@ -22,8 +22,18 @@ jax.config.update("jax_platforms", "cpu")
 # (VERDICT round-1 weak #6); persist them so repeat runs skip straight to
 # execution. The cache key covers jaxlib version + flags + HLO, so stale
 # hits are not a correctness risk.
+#
+# Cache WRITES are disabled by default: XLA's cpu Executable.serialize()
+# segfaults nondeterministically inside the full-suite process (reproduced
+# twice, both times under tests/test_train.py's pjit programs — a native
+# crash, so jax's try/except around the cache write cannot contain it).
+# Reads never serialize and have been stable. To warm the cache, run test
+# files individually with UNOPOSE_CACHE_WRITE=1.
 jax.config.update("jax_compilation_cache_dir", "/tmp/unopose_test_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs",
+    0.5 if os.environ.get("UNOPOSE_CACHE_WRITE") == "1" else 1e9,
+)
 
 import numpy as np
 import pytest

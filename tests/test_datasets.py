@@ -101,7 +101,10 @@ def test_train_dataset_batches_via_loader(fake_megapose):
     )
     ds = DatasetPoseFreeOneRef(cfg, seed=1)
     it = train_loader(ds, batch_size=4, num_workers=2, seed=0)
-    batch = next(it)
+    try:
+        batch = next(it)
+    finally:
+        it.close()  # stop feeder/worker threads (they outlive the fixture)
     assert batch["pts"].shape == (4, 64, 3)
     assert batch["rotation_label"].shape == (4, 3, 3)
 

@@ -30,6 +30,51 @@ def _strip_time(text):
     return ["\n".join(ln.rsplit(",", 1)[:1]) for ln in text.strip().splitlines()]
 
 
+def test_two_process_training_matches_single(tmp_path):
+    """Two real processes under jax.distributed: the sharded train step's
+    GSPMD gradient all-reduce must produce the same params as the
+    single-process run on the same global batch (the DDP grad-all-reduce
+    equivalence, reference main_unopose.py:175-182 + engine_utils.py:53-83).
+    VERDICT round-2 item 4."""
+    out = str(tmp_path / "dist_params.npz")
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 cpu device per process
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                osp.join(REPO, "tests", "dist_train_worker.py"),
+                "--rank", str(r), "--nprocs", "2",
+                "--coordinator", coordinator, "--out", out,
+            ],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for r in range(2)
+    ]
+    outputs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, o[-3000:]
+
+    # single-process reference: same model, same global batch, 1-device mesh
+    # (the pytest process has 8 virtual cpu devices from conftest XLA_FLAGS;
+    # a global batch of 4 only shards over a divisor-sized mesh)
+    from tests.dist_train_worker import run_training
+
+    ref_leaves, ref_losses = run_training(n_devices=1)
+    with np.load(out) as z:
+        got_losses = z["losses"]
+        got_leaves = [z[f"arr_{i}"] for i in range(len(z.files) - 1)]
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    assert len(got_leaves) == len(ref_leaves)
+    for g, r in zip(got_leaves, ref_leaves):
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=1e-6)
+
+
 def test_two_process_inference_matches_single(tmp_path):
     out = str(tmp_path / "result.csv")
     coordinator = f"localhost:{_free_port()}"

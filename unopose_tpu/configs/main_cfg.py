@@ -77,7 +77,12 @@ def get_cfg() -> CN:
             fine_npoint=2048,
             feature_extraction=dict(
                 vit_type="vit_base_patch14_reg4_dinov2",
-                int8_gemm=False,  # W8A8 ViT block GEMMs at inference (~2x MXU rate)
+                # W8A8 ViT block GEMMs at inference (~2x MXU rate on v5e).
+                # Accuracy gate: the 104-pair full-model study shows int8
+                # deltas indistinguishable from bf16 rounding at every
+                # deterministic tap (coarse atten rel 0.61% vs 0.52% max,
+                # same fine-score distribution — benchmarks/SUBSET_STUDY.md)
+                int8_gemm=True,
                 up_type="linear",
                 embed_dim=768,
                 out_dim=256,

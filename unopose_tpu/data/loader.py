@@ -41,6 +41,18 @@ def train_loader(
     sample_q: "queue.Queue" = queue.Queue(maxsize=batch_size * prefetch)
     stop = threading.Event()
 
+    def put_or_stop(q, item) -> bool:
+        """Blocking put that stays responsive to ``stop`` — a plain
+        ``q.put`` on a full queue never rechecks the event, leaving the
+        thread blocked forever after the consumer goes away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def feeder():
         epoch = 0
         while not stop.is_set():
@@ -49,9 +61,8 @@ def train_loader(
                 logger.info("train epoch %d: resampled %d images", epoch, len(dataset))
             epoch += 1
             for idx in rng.permutation(len(dataset)):
-                if stop.is_set():
+                if not put_or_stop(index_q, int(idx)):
                     return
-                index_q.put(int(idx))
 
     def worker():
         while not stop.is_set():
@@ -59,7 +70,8 @@ def train_loader(
                 idx = index_q.get(timeout=0.5)
             except queue.Empty:
                 continue
-            sample_q.put(dataset[idx])
+            if not put_or_stop(sample_q, dataset[idx]):
+                return
 
     threads = [threading.Thread(target=feeder, daemon=True)]
     threads += [threading.Thread(target=worker, daemon=True) for _ in range(max(1, num_workers))]

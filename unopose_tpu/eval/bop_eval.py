@@ -419,6 +419,55 @@ def evaluate_bop(
     return out
 
 
+def _plain_tab(rows):
+    """tabulate(tablefmt='plain') equivalent: space-padded columns."""
+    widths = [max(len(r[i]) for r in rows) for i in range(len(rows[0]))]
+    return "\n".join("  ".join(c.ljust(widths[i]) for i, c in enumerate(r)).rstrip() for r in rows)
+
+
+def format_per_object_tables(res, id2obj=None):
+    """Human-readable per-object AR tables, objects-in-columns and
+    objects-in-rows, mirroring the reference's tabulated console output and
+    txt dumps (core/unopose/engine/bop_eval_utils.py:340-454: summary_scores
+    tables + `{result}_tab_obj_{row,col}.txt`). Values are percent recalls;
+    the rightmost column / bottom row is the instance-weighted average.
+
+    Returns (objects_in_columns_str, objects_in_rows_str)."""
+    ets = [et for et, v in res.items() if isinstance(v, dict) and "per_object" in v]
+    objs = sorted({o for et in ets for o in res[et]["per_object"]})
+
+    def oname(o):
+        return str(id2obj[o]) if id2obj and o in id2obj else str(o)
+
+    rows = [["objects"] + [oname(o) for o in objs] + ["Avg"]]
+    for et in ets:
+        po = res[et]["per_object"]
+        rows.append(
+            [et]
+            + [f"{100.0 * po[o]:.2f}" if o in po else "-" for o in objs]
+            + [f"{100.0 * res[et]['average']:.2f}"]
+        )
+    if "AR" in res:
+        rows.append(["AR"] + [""] * len(objs) + [f"{100.0 * res['AR']:.2f}"])
+    cols = [list(r) for r in zip(*rows)]  # objects in rows
+    return _plain_tab(rows), _plain_tab(cols)
+
+
+def write_per_object_tables(res, csv_path, id2obj=None):
+    """Write `{result}_tab_obj_row.txt` / `_tab_obj_col.txt` next to the
+    result CSV (reference dump_tab_name, bop_eval_utils.py:445-451).
+    Returns the two paths."""
+    by_col, by_row = format_per_object_tables(res, id2obj=id2obj)
+    base = csv_path[:-4] if csv_path.endswith(".csv") else csv_path
+    paths = []
+    for suffix, tab_str in (("row", by_row), ("col", by_col)):
+        path = f"{base}_tab_obj_{suffix}.txt"
+        with open(path, "w") as f:
+            f.write(tab_str + "\n")
+        paths.append(path)
+    return paths
+
+
 def main(argv=None):
     import argparse
 
@@ -440,6 +489,9 @@ def main(argv=None):
         targets_name=args.targets_name,
     )
     print(json.dumps(res, indent=2))
+    by_col, _ = format_per_object_tables(res)
+    print(by_col)
+    write_per_object_tables(res, args.result_csv)
     if args.out:
         json.dump(res, open(args.out, "w"), indent=2)
 

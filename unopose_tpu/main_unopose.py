@@ -230,6 +230,18 @@ def run_eval(model, cfg, out_dir, variables=None, tag=""):
         out_json = save_path.replace(".csv", "_scores.json")
         json.dump(scores, open(out_json, "w"), indent=2)
         print(json.dumps({k: v for k, v in scores.items() if k in ("AR", "n_images")}))
+        # per-object recall tables: console + txt dumps next to the CSV
+        # (reference bop_eval_utils.py:340-454)
+        from unopose_tpu.data.dataset_refs import get_ref
+        from unopose_tpu.eval.bop_eval import format_per_object_tables, write_per_object_tables
+
+        try:
+            id2obj = get_ref(name, cfg.dataloader.test.data_dir).id2obj
+        except Exception:
+            id2obj = None
+        by_col, _ = format_per_object_tables(scores, id2obj=id2obj)
+        print(by_col)
+        write_per_object_tables(scores, save_path, id2obj=id2obj)
 
 
 if __name__ == "__main__":

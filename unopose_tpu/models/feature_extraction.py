@@ -79,6 +79,8 @@ class ViTAE(nn.Module):
     img_size: int = 224
     dtype: jnp.dtype = jnp.float32
     int8_gemm: bool = False  # W8A8 ViT block GEMMs at inference (vit.DenseQ)
+    fused_attn: object = None  # None = auto (TPU inference); False forces the
+    # exact XLA attention + erf GELU (reference-faithful numerics)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, upsample: bool = True, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -90,7 +92,7 @@ class ViTAE(nn.Module):
         traffic than materializing the full-resolution map)."""
         B, H, W, _ = x.shape
         vit = make_vit(self.vit_type, img_size=self.img_size, dtype=self.dtype,
-                       int8_gemm=self.int8_gemm, name="vit")
+                       int8_gemm=self.int8_gemm, fused_attn=self.fused_attn, name="vit")
         outs, cls = vit(x, train=train)
         npfx = vit.num_prefix_tokens
         outs = [o[:, npfx:, :] for o in outs]
@@ -128,6 +130,7 @@ class ViTEncoderOneRef(nn.Module):
     img_size: int = 224
     dtype: jnp.dtype = jnp.float32
     int8_gemm: bool = False
+    fused_attn: object = None  # see ViTAE
 
     def setup(self):
         self.rgb_net = ViTAE(
@@ -139,6 +142,7 @@ class ViTEncoderOneRef(nn.Module):
             img_size=self.img_size,
             dtype=self.dtype,
             int8_gemm=self.int8_gemm,
+            fused_attn=self.fused_attn,
         )
 
     def get_img_feats(self, img: jnp.ndarray, choose: jnp.ndarray, train: bool = False) -> jnp.ndarray:

@@ -203,7 +203,7 @@ def pe_packed_firstk_path(m: "FinePositionalEncoding", pts, center, use_kernel: 
         two_scale_group_exact_planar,
         two_scale_group_first_k_packed,
     )
-    from unopose_tpu.ops.pe_fused import pe_fused_packed
+    from unopose_tpu.ops.pe_fused import pe_fused_packed, pe_fused_packed_t
 
     folded = _pe_folded_params(m)
     g2, w1, w2, total2, overflow = two_scale_group_first_k_packed(
@@ -212,6 +212,35 @@ def pe_packed_firstk_path(m: "FinePositionalEncoding", pts, center, use_kernel: 
 
     def fast(pts):
         if use_kernel:
+            import os as _os
+            if (
+                pts.shape[1] % 128 == 0
+                and g2[0].shape[2] % 256 == 0
+                and _os.environ.get("UNOPOSE_PE_SLOT_MAJOR") == "1"
+            ):
+                # Slot-major adaptive-budget kernel (env-gated EXPERIMENT,
+                # not production). Numerics are fine — outputs differ from
+                # pe_fused_packed only by fp reduction order (sublane- vs
+                # lane-axis moment sums; w2-weighted vs duplicate-pad scale-2
+                # LRF moments — mathematically equal), which the
+                # sign-discontinuous LRF eigvec/vote steps amplify on frames
+                # with no eigengap; it passes the same oracle tolerance tests
+                # (tests/test_model.py::test_fine_pe_fused_matches_xla).
+                # It is GATED OFF because it measured SLOWER than the
+                # point-major kernel in the honest B=16 regime (13.1 vs
+                # 11.4 ms standalone, 67.3 vs 63.9 ms full-model bench):
+                # even with 99.6% of blocks on the 64-slot tier, the
+                # slot-major layout's full-s2 sublane-axis LRF reductions +
+                # the six (B,P,S2)->(B,S2,P) input transposes outweigh the
+                # 4x MLP-chunk saving. An earlier B=32 measurement that
+                # suggested -28% was inflated by an axon-tunnel stall.
+                return pe_fused_packed_t(
+                    tuple(jnp.swapaxes(p, 1, 2) for p in g2),
+                    jnp.swapaxes(w1, 1, 2), jnp.swapaxes(w2, 1, 2),
+                    total2, center,
+                    *folded["mlp1"], *folded["mlp2"],
+                    m.r1, m.r2, interpret=not on_tpu,
+                )
             return pe_fused_packed(
                 g2, w1, w2, total2, center,
                 *folded["mlp1"], *folded["mlp2"],
@@ -517,6 +546,8 @@ class FinePointMatching(nn.Module):
     # reference-parity mode ('first_k'), bfloat16 otherwise
     pe_packed: Any = None  # packed first_k inference path; False forces
     # the materialized two-sort path (comparison studies)
+    pe_fused: Any = None  # force the fused PE kernel (True -> interpret off
+    # TPU; used by the CPU production-path gate test); None = auto
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -552,6 +583,7 @@ class FinePointMatching(nn.Module):
             neighbor_mode=self.pe_neighbor_mode,
             compute_dtype=pe_dtype,
             packed=self.pe_packed,
+            fused=self.pe_fused,
             name="pe",
         )
         in_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")

@@ -59,6 +59,7 @@ class UNOPose(nn.Module):
             fine_npoint=cfg.fine_npoint,
             use_ref_rad=cfg.get("use_ref_rad", False),
             test_coarse_only=cfg.get("test_coarse_only", False),
+            fused_assignment=cfg.get("fused_assignment", None),
             fine_only=cfg.get("fine_only", False),
             feature_extraction=CN(cfg.feature_extraction),
             geo_embedding=CN(cfg.geo_embedding),
@@ -80,6 +81,7 @@ class UNOPose(nn.Module):
             img_size=fe.get("img_size", 224),
             dtype=self.backbone_dtype,
             int8_gemm=fe.get("int8_gemm", False),
+            fused_attn=fe.get("fused_attn", None),
         )
         ge = self.geo_embedding or CN()
         import numpy as _np
@@ -106,6 +108,7 @@ class UNOPose(nn.Module):
             # at every level).
             fused_table=ge.get("fused_table", GeometricStructureEmbedding.fused_table),
             quant_int8=ge.get("quant_int8", GeometricStructureEmbedding.quant_int8),
+            fused_interpret=ge.get("fused_interpret", False),
             dtype=self.dtype,
         )
         cm = self.coarse_point_matching or CN()
@@ -137,6 +140,8 @@ class UNOPose(nn.Module):
             use_xyz=fm.get("use_xyz", True),
             parity_gather=fm.get("parity_gather", False),
             pe_neighbor_mode=fm.get("pe_neighbor_mode", "first_k"),
+            pe_packed=fm.get("pe_packed", None),
+            pe_fused=fm.get("pe_fused", None),
             dtype=self.dtype,
         )
 

@@ -406,6 +406,205 @@ def pe_fused_packed(
     return out
 
 
+def _masked_lrf_block_t(rx, ry, rz, m, r_lrf: float):
+    """_masked_lrf_block in SLOT-MAJOR layout: inputs are (S, p_cols) tiles
+    (slots on the sublane axis), reductions run over axis 0, per-point
+    scalars are (1, p_cols) rows."""
+    cnt = jnp.maximum(jnp.sum(m, axis=0, keepdims=True), 1.0)  # (1, p_cols)
+    mean = lambda t: jnp.sum(t * m, axis=0, keepdims=True) / cnt
+    msum = lambda t: jnp.sum(t * m, axis=0, keepdims=True)
+
+    a = mean(rx * rx)
+    b = mean(rx * ry)
+    c = mean(rx * rz)
+    d = mean(ry * ry)
+    e = mean(ry * rz)
+    f = mean(rz * rz)
+    z0, z1, z2 = smallest_eigvec_sym3_planar(a, b, c, d, e, f, use_newton=True)  # (1, p_cols)
+
+    cp = -(z0 * rx + z1 * ry + z2 * rz)
+    vote = msum((cp > 1e-3).astype(jnp.float32)) - msum((cp < -1e-3).astype(jnp.float32))
+    sgn = jnp.where(vote < 0, -1.0, 1.0)
+    z0, z1, z2 = z0 * sgn, z1 * sgn, z2 * sgn
+
+    norm = z0 * rx + z1 * ry + z2 * rz  # (S, p_cols)
+    vix = rx - norm * z0
+    viy = ry - norm * z1
+    viz = rz - norm * z2
+    x_l2 = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    w = (r_lrf - x_l2) ** 2 * (norm * norm)
+    vx = msum(w * vix)
+    vy = msum(w * viy)
+    vz = msum(w * viz)
+    vn = jnp.sqrt(vx * vx + vy * vy + vz * vz) + 1e-10
+    x0, x1, x2 = vx / vn, vy / vn, vz / vn
+
+    y0 = x1 * z2 - x2 * z1
+    y1 = x2 * z0 - x0 * z2
+    y2 = x0 * z1 - x1 * z0
+
+    inv_r = 1.0 / r_lrf
+    o0 = (x0 * rx + x1 * ry + x2 * rz) * inv_r
+    o1 = (y0 * rx + y1 * ry + y2 * rz) * inv_r
+    o2 = (z0 * rx + z1 * ry + z2 * rz) * inv_r
+    return o0, o1, o2
+
+
+def _pe_kernel_packed_t(
+    qual_ref,
+    gx_ref, gy_ref, gz_ref, w1_ref, w2_ref,  # (1, S2, p_cols) slot-major
+    cx_ref, cy_ref, cz_ref,  # (1, 1, p_cols)
+    wx0_ref, wx1_ref, wx2_ref, bx0_ref, bx1_ref, bx2_ref,
+    out_ref, *, r1: float, r2: float, p_cols: int, s2: int,
+):
+    """Slot-major packed PE with per-block ADAPTIVE slot budgets.
+
+    Slots live on the SUBLANE axis, points on the lane axis — so a tier can
+    process any 64-multiple prefix of the slots (sublane slices have no
+    128-divisibility constraint, unlike the point-major layout's lane
+    slices, which capped the fast path at s2/2). Global compaction puts all
+    hits leftmost, and the multiply-masked max-pool ignores everything past
+    the hits, so a block's tier is exact as long as its prefix covers every
+    neighborhood's hits: tier 2 = 64 slots (1 MLP chunk), 1 = 128 (2), 0 =
+    the full s2 (4).
+
+    The LRF moments are ALWAYS reduced over the full s2 slots (pad slots
+    contribute exact zeros through the w1/w2 multiset masks, and the
+    full-extent reduction is the one shape Mosaic reduces bitwise-
+    consistently — prefix-sliced (64, p_cols) reductions were observed to
+    drift vs the same math at (s2, p_cols), which the sign-discontinuous
+    eigvec/vote steps then amplify). The moment sums are cheap VPU work;
+    the adaptive win is in the MLP below.
+
+    Every tier shares ONE cross-scale block-diagonal MLP (scale 1 | scale 2
+    as channel groups) applied to 64-slot chunks of at most (12, 64 x
+    p_cols) columns — peak VMEM stays at the single-chunk working set, and
+    the MXU cost is proportional to the number of chunks, i.e. to the
+    actual neighborhood density of each point-block. Because a tier-t
+    block's hits all sit inside its prefix, the skipped chunks' masked
+    max-pool contributions are exact zeros: every tier is bitwise equal to
+    the full-budget path."""
+    cx = cx_ref[0]  # (1, p_cols)
+    cy = cy_ref[0]
+    cz = cz_ref[0]
+    qual = qual_ref[pl.program_id(0), pl.program_id(1)]
+
+    def mlp_chunk(chs):
+        h = chs  # (12, 64 * p_cols) bf16
+        for W, b in (
+            (wx0_ref[...], bx0_ref[...]),
+            (wx1_ref[...], bx1_ref[...]),
+            (wx2_ref[...], bx2_ref[...]),
+        ):
+            z = jax.lax.dot_general(
+                W.astype(jnp.bfloat16), h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h = jnp.maximum(z + b, 0.0).astype(jnp.bfloat16)
+        return h  # (256, 64 * p_cols)
+
+    def tier(s_t: int):
+        rx = gx_ref[0] - cx  # (s2, p_cols)
+        ry = gy_ref[0] - cy
+        rz = gz_ref[0] - cz
+        m1 = w1_ref[0].astype(jnp.float32)
+        m2 = w2_ref[0].astype(jnp.float32)
+        l1 = _masked_lrf_block_t(rx, ry, rz, m1, r1)
+        l2 = _masked_lrf_block_t(rx, ry, rz, m2, r2)
+        mb1 = (m1 > 0.0).astype(jnp.bfloat16)
+        mb2 = (m2 > 0.0).astype(jnp.bfloat16)
+        acc1 = jnp.zeros((128, p_cols), jnp.float32)
+        acc2 = jnp.zeros((128, p_cols), jnp.float32)
+        for k in range(s_t // 64):
+            sl = slice(64 * k, 64 * (k + 1))
+            chans = jnp.stack(
+                [rx[sl], ry[sl], rz[sl], l1[0][sl], l1[1][sl], l1[2][sl],
+                 rx[sl], ry[sl], rz[sl], l2[0][sl], l2[1][sl], l2[2][sl]],
+                axis=0,
+            )  # (12, 64, p_cols)
+            h = mlp_chunk(chans.reshape(12, 64 * p_cols).astype(jnp.bfloat16))
+            h = h.reshape(256, 64, p_cols)
+            # multiply-mask max (see _scale_block): h >= 0 post-relu, every
+            # neighborhood has >= 1 valid slot somewhere, zeros never win
+            acc1 = jnp.maximum(acc1, jnp.max(h[:128] * mb1[sl][None], axis=1).astype(jnp.float32))
+            acc2 = jnp.maximum(acc2, jnp.max(h[128:] * mb2[sl][None], axis=1).astype(jnp.float32))
+        out_ref[0] = jnp.concatenate([acc1, acc2], axis=0).T
+
+    @pl.when(qual == 2)
+    def _quarter():
+        tier(64)
+
+    @pl.when(qual == 1)
+    def _half():
+        tier(128)
+
+    @pl.when(qual == 0)
+    def _full():
+        tier(s2)
+
+
+def pe_fused_packed_t(
+    grouped2_t,  # (g2x, g2y, g2z) each (B, S2, P) SLOT-MAJOR, pad-filled
+    w1_t,  # (B, S2, P) bf16 scale-1 multiset weights
+    w2_t,  # (B, S2, P) bf16 scale-2 multiset weights
+    total2,  # (B, P) int32 r2 hit counts
+    center,  # (cx, cy, cz) each (B, P)
+    w1_mlp: Sequence[jnp.ndarray],
+    b1_mlp: Sequence[jnp.ndarray],
+    w2_mlp: Sequence[jnp.ndarray],
+    b2_mlp: Sequence[jnp.ndarray],
+    r1: float,
+    r2: float,
+    p_cols: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Slot-major packed first_k PE with adaptive per-block slot budgets
+    (64/128/s2 — see _pe_kernel_packed_t). Numerically identical to
+    pe_fused_packed; ~2x less MLP+LRF work on typical clouds, where most
+    point-blocks' neighborhoods fit in 64 hits. Returns (B, P, 256) f32."""
+    g = tuple(x.astype(jnp.float32) for x in grouped2_t)
+    B, S2, P = g[0].shape
+    assert P % p_cols == 0 and S2 % 256 == 0, (P, p_cols, S2)
+    cx, cy, cz = (c.astype(jnp.float32)[:, None, :] for c in center)  # (B, 1, P)
+
+    bmax = jnp.max(total2.reshape(B, P // p_cols, p_cols), axis=-1)
+    qual = jnp.where(bmax <= 64, 2, jnp.where(bmax <= 128, 1, 0)).astype(jnp.int32)
+
+    grid = (B, P // p_cols)
+    blk_g = pl.BlockSpec((1, S2, p_cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
+    blk_c = pl.BlockSpec((1, 1, p_cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
+    qual_spec = pl.BlockSpec(qual.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    # ONE cross-scale block-diagonal weight set serves every tier
+    Ws = [
+        jnp.concatenate(
+            [
+                jnp.concatenate([Wa, jnp.zeros_like(Wb)], axis=1),
+                jnp.concatenate([jnp.zeros_like(Wa), Wb], axis=1),
+            ],
+            axis=0,
+        ).astype(jnp.float32)
+        for Wa, Wb in zip(w1_mlp, w2_mlp)
+    ]
+    bs = [
+        jnp.concatenate([ba.reshape(-1, 1), bb.reshape(-1, 1)], axis=0).astype(jnp.float32)
+        for ba, bb in zip(b1_mlp, b2_mlp)
+    ]
+    weights = [*Ws, *bs]
+    kernel = functools.partial(_pe_kernel_packed_t, r1=float(r1), r2=float(r2), p_cols=p_cols, s2=S2)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qual_spec] + [blk_g] * 5 + [blk_c] * 3 + [full(w) for w in weights],
+        out_specs=pl.BlockSpec((1, p_cols, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
+        interpret=interpret,
+    )(qual, *g, w1_t, w2_t, cx, cy, cz, *weights)
+    return out
+
+
 def fold_bn(W: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray, eps: float = 1e-5):
     """Fold inference BatchNorm into the preceding linear: y = s*(Wx - mu)/sqrt(v+eps) + b."""
     inv = scale / jnp.sqrt(var + eps)
