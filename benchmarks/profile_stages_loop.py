@@ -58,9 +58,15 @@ def main():
     T = lambda name, fn, *args, k=12: timed_loop(name, fn, *args, k=k, results=RESULTS)
 
     # ---- full model ----
+    # chain eps through EVERY model input, exactly as bench.py CHAIN_KEYS:
+    # a pts-only chain lets XLA hoist both loop-invariant ViT branches out
+    # of the fori_loop and under-reports by ~25% (profile_loop_modes.py)
+    CHAIN_KEYS = ("pts", "rgb", "tem1_rgb", "tem1_pts")
+
     def full(eps, variables, ins):
         ins = dict(ins)
-        ins["pts"] = ins["pts"] + eps
+        for ck in CHAIN_KEYS:
+            ins[ck] = ins[ck] + eps.astype(ins[ck].dtype)
         return model.apply(variables, ins, train=False, rngs={"sample": key}, mutable=False)
 
     T("full_model_B16", full, variables, inputs, k=6)
