@@ -484,6 +484,47 @@ def test_fine_pe_firstk_packed_matches_materialized(rng):
     assert np.quantile(errf, 0.95) < 8e-2, np.quantile(errf, 0.95)
 
 
+def test_fine_pe_v3_split_matches_materialized(rng, monkeypatch):
+    """The PE-v3 split path (XLA channel construction + cols-major chunked
+    MLP/pool kernel, UNOPOSE_PE_V3=1) matches the materialized exact
+    first_k reference — including blocks forced onto the 3-4 chunk tiers
+    (total2 > 128, the mixed-cloud construction from the packed test)."""
+    from unopose_tpu.models.matching import FinePositionalEncoding
+    from unopose_tpu.ops.ball_query import two_scale_group_first_k_packed
+
+    monkeypatch.setenv("UNOPOSE_PE_V3", "1")
+    N = 512
+    kw = dict(out_dim=32, r1=0.12, r2=0.24, nsample1=64, nsample2=256, neighbor_mode="first_k")
+    v = rng.normal(size=(1, N, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    base = 0.5 * v + rng.normal(size=(1, N, 3)) * 2e-3
+    th = np.linspace(0, 2 * np.pi, 160, endpoint=False)
+    ring = np.stack([0.115 * np.cos(th), 0.115 * np.sin(th), np.zeros_like(th)], -1)
+    ring = ring + rng.normal(size=ring.shape) * 3e-3
+    base[:, :160] = np.array([2.0, 2.0, 2.0]) + ring
+    pts = jnp.asarray(base.astype(np.float32))
+
+    *_, total2, overflow = two_scale_group_first_k_packed(
+        kw["r1"], kw["nsample1"], kw["r2"], kw["nsample2"], pts
+    )
+    assert not bool(overflow)
+    t2 = np.asarray(total2).reshape(1, -1, 64).max(-1)
+    assert (t2 > 128).any() and (t2 <= 64).any(), t2  # 1-chunk AND 3+-chunk tiers
+
+    pe_fus = FinePositionalEncoding(fused=True, **kw)
+    variables = pe_fus.init(jax.random.PRNGKey(0), pts, train=False)
+    stats = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.arange(x.size, dtype=x.dtype) / x.size, variables["batch_stats"]
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(_pe_firstk_reference(variables, pts, kw))
+    got = np.asarray(pe_fus.apply(variables, pts, train=False))
+    err = np.abs(got - want).max(-1)
+    assert np.median(err) < 2e-2, np.median(err)
+    assert np.quantile(err, 0.95) < 8e-2, np.quantile(err, 0.95)
+
+
 def test_fine_pe_firstk_packed_mixed_block_paths(rng):
     """The fused packed kernel picks fast (half-budget, cross-scale packed)
     vs full per point-block. Build a cloud where a dense-but-not-overflowing

@@ -93,10 +93,32 @@ def sanitize_grads(grads):
 
 
 def make_train_step(model: UNOPose, cfg: CN) -> Callable:
-    """Build the (un-jitted) train step; jit/shard with ``shard_train_step``."""
+    """Build the (un-jitted) train step; jit/shard with ``shard_train_step``.
+
+    With ``freeze_vit`` the frozen backbone params are SPLIT OUT of the
+    differentiated tree: autodiff then stops at the ViT-output boundary, so
+    the 2x ViT backward (the single largest FLOP block of the step — the
+    backbone dominates the forward) and its saved activations disappear
+    entirely. The previous formulation differentiated the full tree and let
+    ``optax.set_to_zero`` discard the backbone grads AFTER computing them —
+    ``grad_norm``/sanitize kept the whole dead backward alive. Reference
+    parity: ``requires_grad=False`` in torch prunes the same subgraph
+    (oneref_feature_extraction.py:194-198), and torch's grad norm likewise
+    covers only trainable params.
+    """
+    freeze = cfg.model.feature_extraction.get("freeze_vit", False)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
-        def loss_fn(params):
+        flat_params = traverse_util.flatten_dict(state.params)
+        if freeze:
+            flat_labels = traverse_util.flatten_dict(_freeze_labels(state.params))
+            frozen = {k: v for k, v in flat_params.items() if flat_labels[k] == "frozen"}
+            trainable = {k: v for k, v in flat_params.items() if flat_labels[k] == "train"}
+        else:
+            frozen, trainable = {}, dict(flat_params)
+
+        def loss_fn(train_flat):
+            params = traverse_util.unflatten_dict({**frozen, **train_flat})
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
@@ -108,17 +130,28 @@ def make_train_step(model: UNOPose, cfg: CN) -> Callable:
             loss_dict = process_loss(terms)
             return loss_dict["loss"], (loss_dict, mutated)
 
-        (loss, (loss_dict, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        grads = sanitize_grads(grads)
+        (loss, (loss_dict, mutated)), g_train = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        g_train = sanitize_grads(g_train)
         metrics = dict(loss_dict)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # trainable-only by construction (frozen grads are never computed),
+        # matching torch's grad-norm over params with grads
+        metrics["grad_norm"] = optax.global_norm(g_train)
+        grads = traverse_util.unflatten_dict(
+            {**{k: jnp.zeros_like(v) for k, v in frozen.items()}, **g_train}
+        )
         new_state = state.apply_gradients(grads=grads, batch_stats=mutated.get("batch_stats", state.batch_stats))
         if state.ema_params is not None:
             decay = cfg.train.get("model_ema", CN()).get("decay", 0.999)
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_state.params
-            )
-            new_state = new_state.replace(ema_params=new_ema)
+            # EMA only the trainable subtree: frozen params never move, so
+            # their EMA is the identity — skipping them saves the ~86M-param
+            # backbone's read-modify-write every step
+            new_flat = traverse_util.flatten_dict(new_state.params)
+            ema_flat = traverse_util.flatten_dict(state.ema_params)
+            upd = {
+                k: (decay * ema_flat[k] + (1.0 - decay) * new_flat[k]) if k in trainable else ema_flat[k]
+                for k in ema_flat
+            }
+            new_state = new_state.replace(ema_params=traverse_util.unflatten_dict(upd))
         return new_state, metrics
 
     return train_step

@@ -216,6 +216,25 @@ def pe_packed_firstk_path(m: "FinePositionalEncoding", pts, center, use_kernel: 
             if (
                 pts.shape[1] % 128 == 0
                 and g2[0].shape[2] % 256 == 0
+                and _os.environ.get("UNOPOSE_PE_V3", "0") == "1"
+            ):
+                # (opt-in until TPU-validated; flipped to default-on once the
+                # kernel is measured on the real chip)
+                # v3 split path (default): XLA channel construction + the
+                # cols-major chunked MLP/pool kernel — no in-VMEM relayouts,
+                # per-block adaptive slot budgets (ops/pe_fused.py PE-v3
+                # comment). Exactness argument in pe_channels_packed.
+                from unopose_tpu.ops.pe_fused import pe_channels_packed, pe_mlp_pool_packed
+
+                chunks, _ = pe_channels_packed(g2, w1, w2, center, m.r1, m.r2)
+                return pe_mlp_pool_packed(
+                    chunks, total2,
+                    *folded["mlp1"], *folded["mlp2"],
+                    interpret=not on_tpu,
+                )
+            if (
+                pts.shape[1] % 128 == 0
+                and g2[0].shape[2] % 256 == 0
                 and _os.environ.get("UNOPOSE_PE_SLOT_MAJOR") == "1"
             ):
                 # Slot-major adaptive-budget kernel (env-gated EXPERIMENT,

@@ -609,3 +609,164 @@ def fold_bn(W: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, mean: jnp.nda
     """Fold inference BatchNorm into the preceding linear: y = s*(Wx - mu)/sqrt(v+eps) + b."""
     inv = scale / jnp.sqrt(var + eps)
     return W * inv[None, :], bias - mean * inv
+
+
+# ---------------------------------------------------------------------------
+# v3: split PE — XLA channel construction + cols-major chunked MLP/pool kernel
+# ---------------------------------------------------------------------------
+#
+# The point-major fused kernel (above) pays two in-VMEM relayouts per block:
+# the 12-plane (p_blk, S) -> (12, p_blk*S) channel flatten feeding the MXU,
+# and the (256, p_blk*S) -> (256, p_blk, S) un-flatten feeding the masked
+# max-pool — plus a final output transpose. v3 removes ALL of them by
+# exploiting that HBM is linear: the (B, 12, P, w) tile layout the XLA
+# channel pass writes and the (B, 12, P/p_blk, p_blk*w) channel-major flat
+# layout the MLP wants are THE SAME BYTES (free reshape), so the relayout
+# never happens in VMEM. The MLP then runs columns-major ((cols, d) = the
+# MXU reading the (12, cols) chans block transposed, which the MXU does
+# natively), the pool becomes a free sublane-split + max over contiguous
+# row blocks, and the output lands points-major with no transpose.
+#
+# Masks vanish entirely: the scale-1 channels are ZEROED on non-r1 slots in
+# the XLA pass, which replaces those slots with an exact copy of the self
+# point (rel = 0 -> all six channels 0) — a member of every scale-1
+# neighborhood multiset, so the unmasked max is exact. Scale-2 pad slots
+# materialize first2 duplicates (reference padding), also max-neutral.
+#
+# Per-block ADAPTIVE chunks: slots are globally compacted (hits leftmost,
+# ops/ball_query._first_k_budget_select), so a block whose neighborhoods
+# all have <= c*w hits only needs the first c chunks — skipped chunks hold
+# only pad duplicates / zeroed slots. MXU work scales with actual
+# neighborhood density (~2x saving on real clouds vs the fixed half-budget
+# fast path).
+
+
+def _pe_mlp_pool_kernel(
+    qual_ref,
+    c0_ref, c1_ref, c2_ref, c3_ref,
+    w0_ref, w1_ref, w2_ref, b0_ref, b1_ref, b2_ref,
+    out_ref, acc_ref, *, p_blk: int, w: int,
+):
+    tier = qual_ref[pl.program_id(0), pl.program_id(1)]
+    cols = p_blk * w
+
+    def chunk_pool(ch):  # ch (12, cols) bf16 -> (p_blk, 256) f32 pooled
+        h = jax.lax.dot_general(
+            ch, w0_ref[...].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cols, 64)
+        h = jnp.maximum(h + b0_ref[...], 0.0).astype(jnp.bfloat16)
+        h = jax.lax.dot_general(
+            h, w1_ref[...].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cols, 128)
+        h = jnp.maximum(h + b1_ref[...], 0.0).astype(jnp.bfloat16)
+        h = jax.lax.dot_general(
+            h, w2_ref[...].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cols, 256)
+        h = jnp.maximum(h + b2_ref[...], 0.0)
+        # (cols, 256) -> (p_blk, w, 256): major-axis split, no relayout;
+        # max over the w contiguous rows of each point
+        return jnp.max(h.reshape(p_blk, w, 256), axis=1)
+
+    acc_ref[...] = chunk_pool(c0_ref[0, :, 0, :])
+    for c, ref in enumerate((c1_ref, c2_ref, c3_ref), start=1):
+        @pl.when(tier > c)
+        def _(ref=ref):
+            acc_ref[...] = jnp.maximum(acc_ref[...], chunk_pool(ref[0, :, 0, :]))
+
+    out_ref[0] = acc_ref[...]
+
+
+def pe_channels_packed(grouped2, w1, w2, center, r1: float, r2: float, nchunks: int = 4):
+    """XLA side of PE-v3: build the 12 cross-scale MLP input channels on the
+    packed grouping, split into ``nchunks`` contiguous slot chunks.
+
+    Channel order matches the block-diagonal weight packing: scale 1 =
+    [rel*m1 (3), lrf1*m1 (3)], scale 2 = [rel (3), lrf2 (3)]. Scale-1
+    zeroing implements the pool mask (see module comment); scale 2 is
+    unmasked because pad slots duplicate the first hit (reference padding
+    semantics, max-neutral). LRF moments: scale 1 weighted by the w1
+    multiset multiplicities, scale 2 by the plain mean over all S slots
+    (equal to the weighted form — pads are materialized duplicates).
+
+    Returns (chunks, qual_hint_shape) where chunks is a list of
+    (B, 12, P, w) bfloat16 arrays.
+    """
+    from unopose_tpu.ops.lrf import batch_lrf_planar
+
+    gx, gy, gz = (g.astype(jnp.float32) for g in grouped2)
+    cx, cy, cz = (c.astype(jnp.float32)[..., None] for c in center)
+    rel = (gx - cx, gy - cy, gz - cz)
+    l1 = batch_lrf_planar(center, grouped2, r1, mask=w1)
+    l2 = batch_lrf_planar(center, grouped2, r2, mask=None)
+    m1 = (w1 > 0).astype(jnp.float32)
+    chans = jnp.stack(
+        [*(r * m1 for r in rel), *(l * m1 for l in l1), *rel, *l2], axis=1
+    ).astype(jnp.bfloat16)  # (B, 12, P, S)
+    S = chans.shape[-1]
+    w = S // nchunks
+    return [chans[..., c * w : (c + 1) * w] for c in range(nchunks)], w
+
+
+def pe_mlp_pool_packed(
+    chunks,  # list of nchunks (B, 12, P, w) bf16 channel chunk arrays
+    total2,  # (B, P) int32 r2 hit counts (drives the per-block tier)
+    w1_mlp: Sequence[jnp.ndarray],
+    b1_mlp: Sequence[jnp.ndarray],
+    w2_mlp: Sequence[jnp.ndarray],
+    b2_mlp: Sequence[jnp.ndarray],
+    p_blk: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """PE-v3 kernel driver: chunked cols-major MLP + unmasked max-pool over
+    pre-built packed channels (see pe_channels_packed). Returns (B, P, 256)
+    float32 pooled features (pre-mlp3)."""
+    nc = len(chunks)
+    assert nc == 4, "kernel is specialized to 4 chunks"
+    B, _, P, w = chunks[0].shape
+    cols = p_blk * w
+    assert P % p_blk == 0 and cols % 128 == 0, (P, p_blk, w)
+    # tile -> flat: same HBM bytes, free reshape
+    flat = [c.reshape(B, 12, P // p_blk, cols) for c in chunks]
+
+    bmax = jnp.max(total2.reshape(B, P // p_blk, p_blk), axis=-1)
+    qual = jnp.clip((bmax + w - 1) // w, 1, nc).astype(jnp.int32)
+
+    # ONE cross-scale block-diagonal weight set (scale 1 | scale 2)
+    Ws = [
+        jnp.concatenate(
+            [
+                jnp.concatenate([Wa, jnp.zeros_like(Wb)], axis=1),
+                jnp.concatenate([jnp.zeros_like(Wa), Wb], axis=1),
+            ],
+            axis=0,
+        ).astype(jnp.float32)
+        for Wa, Wb in zip(w1_mlp, w2_mlp)
+    ]
+    bs = [
+        jnp.concatenate([ba.reshape(1, -1), bb.reshape(1, -1)], axis=1).astype(jnp.float32)
+        for ba, bb in zip(b1_mlp, b2_mlp)
+    ]
+    weights = [*Ws, *bs]
+
+    grid = (B, P // p_blk)
+    blk_c = pl.BlockSpec((1, 12, 1, cols), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
+    qual_spec = pl.BlockSpec(qual.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_pe_mlp_pool_kernel, p_blk=p_blk, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qual_spec] + [blk_c] * nc + [full(x) for x in weights],
+        out_specs=pl.BlockSpec((1, p_blk, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((p_blk, 256), jnp.float32)],
+        interpret=interpret,
+    )(qual, *flat, *weights)
+    return out
