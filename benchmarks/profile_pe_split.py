@@ -114,6 +114,34 @@ def main():
 
     timed("pe_fused_packed_kernel", jax.jit(kernel_only), g2, w1, w2, total2, center, folded)
 
+    # v3 split path: XLA channel construction + cols-major chunked MLP/pool
+    from unopose_tpu.ops.pe_fused import pe_channels_packed, pe_mlp_pool_packed
+
+    def v3_channels(e, g2_, w1_, w2_, c):
+        c = tuple(q + e for q in c)
+        return pe_channels_packed(g2_, w1_, w2_, c, 0.1, 0.2)[0]
+
+    timed("pe_v3_channels_xla", jax.jit(v3_channels), g2, w1, w2, center)
+
+    def v3_full(e, g2_, w1_, w2_, t2_, c, f):
+        c = tuple(q + e for q in c)
+        chunks, _ = pe_channels_packed(g2_, w1_, w2_, c, 0.1, 0.2)
+        return pe_mlp_pool_packed(chunks, t2_, *f["mlp1"], *f["mlp2"])
+
+    timed("pe_v3_total", jax.jit(v3_full), g2, w1, w2, total2, center, folded)
+
+    chunks0 = jax.block_until_ready(
+        jax.jit(lambda g2_, w1_, w2_, c: pe_channels_packed(g2_, w1_, w2_, c, 0.1, 0.2)[0])(
+            g2, w1, w2, center
+        )
+    )
+
+    def v3_kernel_only(e, ch, t2_, f):
+        ch = [c + e.astype(c.dtype) for c in ch]
+        return pe_mlp_pool_packed(ch, t2_, *f["mlp1"], *f["mlp2"])
+
+    timed("pe_v3_mlp_pool_kernel", jax.jit(v3_kernel_only), chunks0, total2, folded)
+
     # final Dense 256->256 projection
     W3 = pe_vars["params"]["mlp3"]["kernel"]
     b3 = pe_vars["params"]["mlp3"]["bias"]

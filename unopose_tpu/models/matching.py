@@ -218,8 +218,14 @@ def pe_packed_firstk_path(m: "FinePositionalEncoding", pts, center, use_kernel: 
                 and g2[0].shape[2] % 256 == 0
                 and _os.environ.get("UNOPOSE_PE_V3", "0") == "1"
             ):
-                # (opt-in until TPU-validated; flipped to default-on once the
-                # kernel is measured on the real chip)
+                # GATED OFF: measured EQUAL to the point-major kernel on the
+                # real chip (round 4, benchmarks/profile_pe_split.py:
+                # v3 channels 8.8 + kernel 10.2 vs old kernel 14.2 ms
+                # host-chained; full-model 63.4 vs 63.7 ms). Two independent
+                # designs plateauing at ~10 ms net of dispatch floor says the
+                # cost is the irreducible LRF + MLP work at these shapes, not
+                # the in-VMEM relayouts this design removes. Kept as the
+                # structural basis for a future grouping-fused variant.
                 # v3 split path (default): XLA channel construction + the
                 # cols-major chunked MLP/pool kernel — no in-VMEM relayouts,
                 # per-block adaptive slot budgets (ops/pe_fused.py PE-v3
