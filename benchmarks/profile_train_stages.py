@@ -1,9 +1,10 @@
 """Round-4: train-side stage attribution (VERDICT r3 item 5).
 
 Splits the train step into: full step / loss forward only / forward+backward
-(no optimizer) / the 2x frozen-ViT forward alone / optimizer+EMA tail.
-Uses the in-jit fori harness (benchmarks/_timing.py) so sub-5 ms stages
-resolve despite the axon dispatch floor.
+(no optimizer) / the 2x frozen-ViT forward alone. Every stage here is
+>> the ~4 ms axon dispatch floor, so plain host-chained dispatch timing is
+honest to ~2% and compiles each program ONCE (the in-jit fori harness
+would compile two multi-minute loop programs per stage over the tunnel).
 
 cd /root/repo && python benchmarks/profile_train_stages.py [per_chip_batch]
 """
@@ -26,7 +27,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from benchmarks._timing import timed_loop
     from unopose_tpu.configs.main_cfg import get_cfg
     from unopose_tpu.data.loader import synthetic_train_iter
     from unopose_tpu.engine.train import create_train_state, make_train_step
@@ -45,6 +45,42 @@ def main():
     state = jax.device_put(state)
     print(f"backend: {jax.default_backend()}, batch {B}", flush=True)
 
+
+    import time
+
+    def _leaf0(tree):
+        leaves = [l for l in jax.tree_util.tree_leaves(tree) if hasattr(l, "dtype")]
+        for l in leaves:
+            if l.dtype.kind == "f":
+                return l.reshape(-1)[0]
+        return leaves[0].reshape(-1)[0].astype("float32")
+
+    def timed(name, fn, *args, iters=5, results=None):
+        jfn = jax.jit(fn)
+        t0 = time.perf_counter()
+        out = jfn(np.float32(0.0), *args)
+        float(_leaf0(out))
+        print(f"[{name}] compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+
+        def chain(n):
+            eps = np.float32(0.0)
+            for _ in range(n):
+                out = jfn(eps, *args)
+                eps = _leaf0(out) * np.float32(0.0)
+            return float(_leaf0(out))
+
+        chain(1)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            chain(iters)
+            ts.append((time.perf_counter() - t0) / iters)
+        dt = min(ts)
+        print(f"{name:36s} {dt * 1e3:9.1f} ms", flush=True)
+        if results is not None:
+            results[name] = round(dt * 1e3, 2)
+        return dt
+
     results = {}
     key = jax.random.PRNGKey(0)
 
@@ -59,7 +95,7 @@ def main():
         _, metrics = step(state, b, key)
         return metrics
 
-    timed_loop("train_full_step", full_step, state, batch, key, k=8, results=results)
+    timed("train_full_step", full_step, state, batch, key, results=results)
 
     def fwd_loss(eps, params, bs, batch, key):
         b = dict(batch)
@@ -69,7 +105,7 @@ def main():
         )
         return process_loss(compute_train_losses(outputs, b, cfg.model))["loss"]
 
-    timed_loop("train_fwd_loss", fwd_loss, state.params, state.batch_stats, batch, key, k=8, results=results)
+    timed("train_fwd_loss", fwd_loss, state.params, state.batch_stats, batch, key, results=results)
 
     def fwd_bwd(eps, params, bs, batch, key):
         from flax import traverse_util
@@ -92,7 +128,7 @@ def main():
 
         return jax.value_and_grad(loss_fn)(trainable)[1]
 
-    timed_loop("train_fwd_bwd_frozen_split", fwd_bwd, state.params, state.batch_stats, batch, key, k=8, results=results)
+    timed("train_fwd_bwd_frozen_split", fwd_bwd, state.params, state.batch_stats, batch, key, results=results)
 
     def fwd_bwd_all(eps, params, bs, batch, key):
         def loss_fn(p):
@@ -105,7 +141,14 @@ def main():
 
         return jax.value_and_grad(loss_fn)(params)[1]
 
-    timed_loop("train_fwd_bwd_full_tree", fwd_bwd_all, state.params, state.batch_stats, batch, key, k=6, results=results)
+    try:
+        timed("train_fwd_bwd_full_tree", fwd_bwd_all, state.params, state.batch_stats, batch, key, results=results)
+    except Exception as e:
+        # measured round 4: RESOURCE_EXHAUSTED on the v5e chip — the frozen
+        # backbone's saved activations alone overflow HBM at bs=8, which is
+        # the memory half of the frozen-split argument (engine/train.py)
+        results["train_fwd_bwd_full_tree"] = f"OOM: {type(e).__name__}"
+        print(f"train_fwd_bwd_full_tree failed: {type(e).__name__}", flush=True)
 
     # the 2x backbone forward alone, under train flags
     enc = model.bind({"params": state.params, "batch_stats": state.batch_stats}, rngs={"sample": key})
@@ -116,7 +159,7 @@ def main():
         return f1.sum() + f2.sum()
 
     try:
-        timed_loop("train_vit_pair_fwd", vit_pair, batch["rgb"], batch["tem1_rgb"], k=8, results=results)
+        timed("train_vit_pair_fwd", vit_pair, batch["rgb"], batch["tem1_rgb"], results=results)
     except Exception as e:  # bound-module introspection is best-effort
         print(f"vit_pair skipped: {e}", flush=True)
 

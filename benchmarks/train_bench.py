@@ -34,10 +34,14 @@ def main():
     per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 8  # reference per-rank bs
     n_dev = len(jax.devices())
     B = per_chip * n_dev
+    import os
+
     cfg = get_cfg()
     # synthetic benchmark: random-init backbone (the pretrained DINOv2
     # checkpoint is not present on bench hosts; weights don't change timing)
     cfg.model.feature_extraction.pretrained = False
+    if os.environ.get("UNOPOSE_TRAIN_PE_DTYPE"):
+        cfg.model.fine_point_matching.pe_dtype = os.environ["UNOPOSE_TRAIN_PE_DTYPE"]
     model = UNOPose.from_config(cfg.model, dtype=jnp.bfloat16, backbone_dtype=jnp.bfloat16)
 
     it = synthetic_train_iter(B)

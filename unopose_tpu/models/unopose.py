@@ -142,6 +142,12 @@ class UNOPose(nn.Module):
             pe_neighbor_mode=fm.get("pe_neighbor_mode", "first_k"),
             pe_packed=fm.get("pe_packed", None),
             pe_fused=fm.get("pe_fused", None),
+            # PE MLP activation storage dtype ("bf16"/"fp32"); None keeps the
+            # mode default (fp32 in first_k). The (B, {32,64,128}, P, S)
+            # activation family is the train step's largest HBM tensor; bf16
+            # halves it (range-safe — the reference pins fp32 only against
+            # fp16-AMP overflow, fine :163-165)
+            pe_dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32, None: None}[fm.get("pe_dtype", None)],
             dtype=self.dtype,
         )
 
