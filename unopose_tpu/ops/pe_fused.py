@@ -673,11 +673,11 @@ def _pe_mlp_pool_kernel(
         # max over the w contiguous rows of each point
         return jnp.max(h.reshape(p_blk, w, 256), axis=1)
 
-    acc_ref[...] = chunk_pool(c0_ref[0, :, 0, :])
+    acc_ref[...] = chunk_pool(c0_ref[0])
     for c, ref in enumerate((c1_ref, c2_ref, c3_ref), start=1):
         @pl.when(tier > c)
         def _(ref=ref):
-            acc_ref[...] = jnp.maximum(acc_ref[...], chunk_pool(ref[0, :, 0, :]))
+            acc_ref[...] = jnp.maximum(acc_ref[...], chunk_pool(ref[0]))
 
     out_ref[0] = acc_ref[...]
 
@@ -731,8 +731,12 @@ def pe_mlp_pool_packed(
     B, _, P, w = chunks[0].shape
     cols = p_blk * w
     assert P % p_blk == 0 and cols % 128 == 0, (P, p_blk, w)
-    # tile -> flat: same HBM bytes, free reshape
-    flat = [c.reshape(B, 12, P // p_blk, cols) for c in chunks]
+    # tile -> flat: same HBM bytes, free reshape. The block axis rides
+    # inside the flattened minor dim (Mosaic wants the block's last two
+    # dims divisible by (8, 128) or equal to the array's — (12, cols) with
+    # 12 == array dim qualifies; a (…, 1, cols) block of a 4-D array does
+    # not)
+    flat = [c.reshape(B, 12, (P // p_blk) * cols) for c in chunks]
 
     bmax = jnp.max(total2.reshape(B, P // p_blk, p_blk), axis=-1)
     qual = jnp.clip((bmax + w - 1) // w, 1, nc).astype(jnp.int32)
@@ -755,7 +759,7 @@ def pe_mlp_pool_packed(
     weights = [*Ws, *bs]
 
     grid = (B, P // p_blk)
-    blk_c = pl.BlockSpec((1, 12, 1, cols), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
+    blk_c = pl.BlockSpec((1, 12, cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
     qual_spec = pl.BlockSpec(qual.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
