@@ -128,6 +128,31 @@ def test_get_node_correspondences_oracle(rng):
     np.testing.assert_allclose(dense, want, atol=1e-6)
 
 
+def test_get_node_correspondences_ref_node_count(rng):
+    # M=196 (the reference pipeline's coarse node count) with the DEFAULT
+    # row_chunk: the chunk is picked internally (196 % 16 != 0), and the
+    # result matches a divisor-chunk run exactly.
+    M, N, K = 196, 24, 4
+    ref_nodes = rng.uniform(-1, 1, size=(M, 3)).astype(np.float32)
+    src_nodes = rng.uniform(-1, 1, size=(N, 3)).astype(np.float32)
+    ref_knn = ref_nodes[:, None] + rng.uniform(-0.2, 0.2, size=(M, K, 3)).astype(np.float32)
+    src_knn = src_nodes[:, None] + rng.uniform(-0.2, 0.2, size=(N, K, 3)).astype(np.float32)
+    T = jnp.eye(4)
+    a = np.asarray(
+        get_node_correspondences(
+            jnp.asarray(ref_nodes), jnp.asarray(src_nodes), jnp.asarray(ref_knn), jnp.asarray(src_knn), T, 0.15
+        )
+    )
+    b = np.asarray(
+        get_node_correspondences(
+            jnp.asarray(ref_nodes), jnp.asarray(src_nodes), jnp.asarray(ref_knn), jnp.asarray(src_knn), T, 0.15,
+            row_chunk=14,
+        )
+    )
+    assert a.shape == (M, N)
+    np.testing.assert_allclose(a, b, atol=0)
+
+
 def test_point2node_correspondences_oracle(rng):
     M1, M2, N1, N2 = 12, 10, 120, 100
     src_nodes = rng.uniform(-1, 1, size=(M1, 3)).astype(np.float32)

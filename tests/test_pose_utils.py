@@ -102,10 +102,16 @@ def test_se3_algebra(rng):
 
 
 def test_pose_vec2mat(rng):
+    # reference layout is rotation FIRST (pose_utils.py:415-434):
+    # 'quat' = (qw,qx,qy,qz,tx,ty,tz), 'euler' = (rx,ry,rz,tx,ty,tz)
     vec = rng.standard_normal((6, 7)).astype(np.float32)
     M = np.asarray(pose_vec2mat(jnp.asarray(vec), rotation_mode="quat"))
-    np.testing.assert_allclose(M[:, :, 3], vec[:, :3], atol=1e-6)  # translation FIRST
-    np.testing.assert_allclose(M[:, :, :3], np.asarray(quat2mat(jnp.asarray(vec[:, 3:]))), atol=1e-6)
+    np.testing.assert_allclose(M[:, :, 3], vec[:, 4:7], atol=1e-6)
+    np.testing.assert_allclose(M[:, :, :3], np.asarray(quat2mat(jnp.asarray(vec[:, :4]))), atol=1e-6)
+    vec6 = rng.standard_normal((6, 6)).astype(np.float32)
+    Me = np.asarray(pose_vec2mat(jnp.asarray(vec6), rotation_mode="euler"))
+    np.testing.assert_allclose(Me[:, :, 3], vec6[:, 3:6], atol=1e-6)
+    np.testing.assert_allclose(Me[:, :, :3], np.asarray(euler2mat(jnp.asarray(vec6[:, :3]))), atol=1e-6)
 
 
 def test_get_closest_rot_batch_bruteforce(rng):
@@ -143,9 +149,10 @@ def test_rt_transform_batch(rng):
     )
     out = np.asarray(rt_transform_batch(jnp.asarray(q), jnp.asarray(t), jnp.asarray(src)))
     np.testing.assert_allclose(out[..., :3], np.asarray(quat2mat(jnp.asarray(q))) @ src[..., :3], atol=1e-5)
-    np.testing.assert_allclose(out[..., 3], src[..., 3] + t, atol=1e-6)
-    # geodesic sanity: identity delta leaves the pose unchanged
+    # reference RT_transform_batch_cpu ASSIGNS the predicted translation
+    np.testing.assert_allclose(out[..., 3], t, atol=1e-6)
+    # geodesic sanity: identity delta + source translation leaves the pose unchanged
     ident = np.tile(np.array([1, 0, 0, 0], np.float32), (5, 1))
-    out2 = np.asarray(rt_transform_batch(jnp.asarray(ident), jnp.zeros((5, 3)), jnp.asarray(src)))
+    out2 = np.asarray(rt_transform_batch(jnp.asarray(ident), jnp.asarray(src[..., 3]), jnp.asarray(src)))
     np.testing.assert_allclose(out2, src, atol=1e-5)
     assert float(np.max(np.asarray(rotation_geodesic_deg(jnp.asarray(src[..., :3]), jnp.asarray(src[..., :3]))))) < 0.1  # fp32 acos near tr=3 resolves ~0.03 deg

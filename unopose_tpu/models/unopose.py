@@ -32,6 +32,13 @@ from unopose_tpu.ops.solver import compute_coarse_Rt_overlap, compute_fine_Rt_ov
 from unopose_tpu.utils.config import CN
 
 
+def _resolve_pe_dtype(v):
+    table = {"bf16": jnp.bfloat16, "fp32": jnp.float32, None: None}
+    if v not in table:
+        raise ValueError(f"pe_dtype must be 'bf16', 'fp32', or None, got {v!r}")
+    return table[v]
+
+
 class UNOPose(nn.Module):
     """Config fields mirror reference configs/main_cfg.py:128-181."""
 
@@ -147,7 +154,7 @@ class UNOPose(nn.Module):
             # activation family is the train step's largest HBM tensor; bf16
             # halves it (range-safe — the reference pins fp32 only against
             # fp16-AMP overflow, fine :163-165)
-            pe_dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32, None: None}[fm.get("pe_dtype", None)],
+            pe_dtype=_resolve_pe_dtype(fm.get("pe_dtype", None)),
             dtype=self.dtype,
         )
 

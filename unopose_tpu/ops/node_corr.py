@@ -122,7 +122,10 @@ def get_node_correspondences(
     ref_cnt = jnp.sum(ref_knn_masks, axis=1).astype(jnp.float32)  # (M,)
     src_cnt = jnp.sum(src_knn_masks, axis=1).astype(jnp.float32)  # (N,)
 
-    assert M % row_chunk == 0, (M, row_chunk)
+    # pick the largest divisor of M <= row_chunk so the default works at any
+    # node count (the reference pipeline uses M=196, which 16 doesn't divide)
+    while M % row_chunk != 0:
+        row_chunk -= 1
 
     def chunk(i0):
         rp = jax.lax.dynamic_slice_in_dim(ref_knn_points, i0, row_chunk)  # (C, K, 3)

@@ -106,11 +106,17 @@ def quat2euler(q: jnp.ndarray, epsilon: float = 0.0) -> jnp.ndarray:
 
 
 def pose_vec2mat(vec: jnp.ndarray, rotation_mode: str = "quat") -> jnp.ndarray:
-    """(B, 6|7) [t, r] -> (B, 3, 4) transform (reference :415-434; note the
-    reference's layout is translation FIRST)."""
-    t = vec[..., :3, None]
-    r = vec[..., 3:]
-    R = quat2mat(r) if rotation_mode == "quat" else euler2mat(r)
+    """(B, 6|7) [r, t] -> (B, 3, 4) transform (reference :415-434; the
+    reference's layout is rotation FIRST: 'quat' = (qw,qx,qy,qz,tx,ty,tz),
+    'euler' = (rx,ry,rz,tx,ty,tz))."""
+    if rotation_mode == "quat":
+        r = vec[..., :4]
+        t = vec[..., 4:7, None]
+        R = quat2mat(r)
+    else:
+        r = vec[..., :3]
+        t = vec[..., 3:6, None]
+        R = euler2mat(r)
     return jnp.concatenate([R, t], axis=-1)
 
 
@@ -172,9 +178,11 @@ def get_closest_rot_batch(
 
 
 def rt_transform_batch(quat_delta: jnp.ndarray, t_delta: jnp.ndarray, poses_src: jnp.ndarray) -> jnp.ndarray:
-    """Apply a (quat, translation) delta to (B, 3, 4) source poses in
-    camera coords: R = R_delta @ R_src, t = t_src + t_delta (reference
-    RT_transform_batch_* :661-685 with R_transform_th CAMERA :586-602)."""
+    """Apply a (quat, translation) update to (B, 3, 4) source poses in
+    camera coords: R = R_delta @ R_src, t = t_delta (the reference
+    RT_transform_batch_cpu :670-685 ASSIGNS the predicted translation —
+    ``poses_tgt[i, 6:] = translation[i]`` — rather than adding it to the
+    source; rotation composes per R_transform_th CAMERA :586-602)."""
     R = quat2mat(quat_delta) @ poses_src[..., :3, :3]
-    t = poses_src[..., :3, 3] + t_delta
+    t = jnp.broadcast_to(t_delta, poses_src[..., :3, 3].shape)
     return jnp.concatenate([R, t[..., None]], axis=-1)
