@@ -59,21 +59,30 @@ def main():
     p.add_argument("--nprocs", type=int, required=True)
     p.add_argument("--coordinator", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--local-devices", type=int, default=1,
+                   help="virtual CPU devices per process (combined multi-host x multi-device topology)")
+    p.add_argument("--global-batch", type=int, default=4)
     args = p.parse_args()
 
     import jax
 
     # the axon TPU plugin ignores JAX_PLATFORMS; force CPU via jax.config
     jax.config.update("jax_platforms", "cpu")
+    if args.local_devices > 1:
+        # N virtual devices per process: the combined topology where
+        # per-process batch slicing and GSPMD cross-host collectives compose
+        # (reference multi-node multi-GPU, main_unopose.py:175-182)
+        jax.config.update("jax_num_cpu_devices", args.local_devices)
     jax.distributed.initialize(
         coordinator_address=args.coordinator, num_processes=args.nprocs, process_id=args.rank
     )
     assert jax.process_count() == args.nprocs
-    assert len(jax.devices()) == args.nprocs  # 1 cpu device per process
+    assert len(jax.local_devices()) == args.local_devices
+    assert len(jax.devices()) == args.nprocs * args.local_devices
 
     import numpy as np
 
-    leaves, losses = run_training()
+    leaves, losses = run_training(global_batch=args.global_batch)
     if jax.process_index() == 0:
         np.savez(args.out, losses=np.asarray(losses), *leaves)
 

@@ -1,13 +1,15 @@
-"""Depth renderer for VSD: z-buffer point splatting of densified meshes.
+"""Depth renderers for VSD.
 
 The reference evaluator renders model depth with a GPU rasterizer
-(bop_toolkit renderer_vispy.py); here depth maps are produced by projecting
-a densely (super)sampled point set of the mesh surface and scatter-min-ing
-into the z-buffer, with a small dilation to close pinholes. For VSD's step
-cost at tau >= 0.05 x diameter this approximates the true rasterization
-closely (validated in tests against an exact half-space rasterizer on
-synthetic meshes); a tiled triangle rasterizer can replace it later without
-touching the metric code.
+(bop_toolkit renderer_vispy.py, invoked via eval_pose_results_more.py:167).
+The default here is ``MeshRasterRenderer``: an exact triangle z-buffer
+rasterizer (native C++ kernel, numpy half-space oracle fallback) —
+pixel-identical silhouettes and fp32-rounding-level depths vs the oracle at
+real YCB-V mesh density (~100k faces, tests/test_eval.py::
+test_mesh_raster_vsd_real_density asserts zero VSD recall delta across the
+BOP tau x theta grid). ``PointSplatRenderer`` remains as a mesh-free
+approximation (z-buffer point splatting of densified surfaces) for clouds
+without connectivity.
 """
 
 from __future__ import annotations

@@ -199,13 +199,60 @@ def pe_packed_firstk_path(m: "FinePositionalEncoding", pts, center, use_kernel: 
     exact reference sort path at the FEATURE level (a grouping-level
     fallback cannot express scale 1's independent truncation, which may
     keep r1 hits outside scale 2's kept slots)."""
+    import os as _os
+
     from unopose_tpu.ops.ball_query import (
         two_scale_group_exact_planar,
         two_scale_group_first_k_packed,
+        two_scale_group_first_k_packed_idx,
     )
     from unopose_tpu.ops.pe_fused import pe_fused_packed, pe_fused_packed_t
 
     folded = _pe_folded_params(m)
+    use_v4 = (
+        use_kernel
+        and pts.shape[1] % 128 == 0
+        and m.nsample2 % 256 == 0
+        and _os.environ.get("UNOPOSE_PE_V4", "0") == "1"
+    )
+    if use_v4:
+        # PE-v4 (env-gated EXPERIMENT): grouping-fused slot-major kernel —
+        # slot coordinates are gathered INSIDE the PE kernel from the
+        # permuted planes + int16 indices, so the three (B, P, S2) f32
+        # planes never exist in HBM and per-block adaptive tiers scale
+        # gather+LRF+MLP together (bitwise-validated against
+        # pe_fused_packed_t in all tiers, benchmarks/check_pe_v4.py).
+        # GATED OFF: measured EQUAL to the production point-major kernel
+        # in-model (64.7 vs 64.2 ms full-model A/B, bench_ab_pe_v4.py).
+        # The internal ablation (benchmarks/profile_pe_v4.py) explains why:
+        # gather is only ~1.2 ms and the LRF/MLP each measure small ALONE
+        # (≈0.4 / ≈4.4 ms marginal), but feeding LRF outputs through the
+        # per-chunk channel-stack relayout costs ~9 ms of pure interaction
+        # — the in-VMEM stack/reshape is the bottleneck, not the math. The
+        # successor (PE-v5) keeps this kernel's gather+LRF stage but WRITES
+        # channels to HBM in PE-v3's flat chunk layout, feeding v3's
+        # relayout-free cols-major MLP kernel.
+        from unopose_tpu.ops.pe_fused import pe_fused_gather_t
+
+        planes, idx_p, w1, w2, total2, overflow = two_scale_group_first_k_packed_idx(
+            m.r1, m.nsample1, m.r2, m.nsample2, pts
+        )
+
+        def fast_v4(pts):
+            return pe_fused_gather_t(
+                planes, idx_p, w1, w2, total2, center,
+                *folded["mlp1"], *folded["mlp2"],
+                m.r1, m.r2, interpret=not on_tpu,
+            )
+
+        def slow_v4(pts):
+            g1e, g2e = two_scale_group_exact_planar(m.r1, m.nsample1, m.r2, m.nsample2, pts)
+            f1 = _folded_scale_planar(center, g1e, m.r1, *folded["mlp1"])
+            f2 = _folded_scale_planar(center, g2e, m.r2, *folded["mlp2"])
+            return jnp.swapaxes(jnp.concatenate([f1, f2], axis=1), 1, 2)
+
+        return jax.lax.cond(overflow, slow_v4, fast_v4, pts)
+
     g2, w1, w2, total2, overflow = two_scale_group_first_k_packed(
         m.r1, m.nsample1, m.r2, m.nsample2, pts
     )

@@ -435,10 +435,13 @@ def _first_k_budget_select(
     fused_keys: bool | None,
     interpret: bool,
     global_compact: bool = False,
+    materialize: bool = True,
 ):
     """Shared keys -> budget sort -> decode -> pad fill -> g2 gather of the
     sort-free first_k groupings. Returns a dict with the scale-2 grouping and
     everything the scale-1 consumers (materialized or packed) need.
+    ``materialize=False`` skips the g2 gather (dict carries ``g2=None``) for
+    consumers that gather in their own kernel.
 
     ``global_compact``: compact all valid hits to the leftmost slots across
     chunk groups (stable, so both backends produce the same slot order) and
@@ -540,7 +543,7 @@ def _first_k_budget_select(
     q_first = jnp.take(inv_perm, jnp.where(total2 > 0, first2_orig, 0), axis=0)  # (B, N)
     idx_p = jnp.where(validslot, idx_p, q_first[..., None].astype(idx_p.dtype))
 
-    g2 = gather_planar(xp, yp, zp, idx_p)  # three (B, N, k2)
+    g2 = gather_planar(xp, yp, zp, idx_p) if materialize else None  # three (B, N, k2)
 
     overflow = jnp.any(ccnt > budget) | jnp.any(total2 > k2) | jnp.any(cnt1 > k1)
     return dict(
@@ -607,6 +610,12 @@ def two_scale_group_first_k_packed(
     sel = _first_k_budget_select(
         r1, k1, r2, k2, pts, chunks, fused_keys, interpret, global_compact=True
     )
+    w1, w2 = _packed_multiset_weights(sel, k1, k2)
+    return sel["g2"], w1, w2, sel["total2"], sel["overflow"]
+
+
+def _packed_multiset_weights(sel, k1: int, k2: int):
+    """Per-slot multiset weights for both scales on the compacted slots."""
     first1_pp = sel["enc1"] & 4095  # permuted position of the scan-first r1 hit
     npads1 = (k1 - sel["cnt1"]).astype(jnp.float32)  # >= 0 when not overflowed
     bump = (
@@ -624,7 +633,43 @@ def two_scale_group_first_k_packed(
         sel["idx_p"].astype(jnp.int32) == sel["q_first"][..., None]
     ).astype(jnp.float32) * (k2 - sel["total2"]).astype(jnp.float32)[..., None]
     w2 = jnp.where(sel["validslot"], 1.0 + bump2, 0.0).astype(jnp.bfloat16)
-    return sel["g2"], w1, w2, sel["total2"], sel["overflow"]
+    return w1, w2
+
+
+def two_scale_group_first_k_packed_idx(
+    r1: float,
+    k1: int,
+    r2: float,
+    k2: int,
+    pts: jnp.ndarray,
+    chunks: int = 4,
+    fused_keys: bool | None = None,
+    interpret: bool = False,
+):
+    """``two_scale_group_first_k_packed`` WITHOUT the slot materialization:
+    returns the permuted source planes plus pad-filled slot INDICES, for
+    consumers that gather in their own kernel (ops/pe_fused.pe_fused_gather_t
+    — the PE-v4 grouping-fused kernel). Skipping ``gather_planar`` removes
+    the three (B, N, k2) f32 plane round-trips through HBM.
+
+    Returns ((xp, yp, zp) permuted (B, N) planes,
+             idx_p (B, N, k2) int16 pad-filled permuted slot positions,
+             w1, w2, total2, overflow) — weight semantics as in
+             two_scale_group_first_k_packed.
+    """
+    sel = _first_k_budget_select(
+        r1, k1, r2, k2, pts, chunks, fused_keys, interpret,
+        global_compact=True, materialize=False,
+    )
+    w1, w2 = _packed_multiset_weights(sel, k1, k2)
+    return (
+        (sel["xp"], sel["yp"], sel["zp"]),
+        sel["idx_p"],
+        w1,
+        w2,
+        sel["total2"],
+        sel["overflow"],
+    )
 
 
 def two_scale_group_first_k_fast(

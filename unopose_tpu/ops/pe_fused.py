@@ -605,6 +605,209 @@ def pe_fused_packed_t(
     return out
 
 
+# ---------------------------------------------------------------------------
+# v4: grouping-fused slot-major PE — in-kernel banked gather + LRF + MLP + pool
+# ---------------------------------------------------------------------------
+#
+# The remaining structural cost of every prior PE design is the slot
+# MATERIALIZATION: the grouping pass gathers three (B, P, S2) f32 coordinate
+# planes through HBM (ops/gather_pallas), the slot-major experiment then
+# paid six XLA transposes on top, and the v3 split re-reads the slots to
+# build channels. v4 moves the banked lane-gather INSIDE the PE kernel:
+# the kernel consumes the pad-filled slot INDICES (int16) plus the bf16
+# multiset weights — both slot-major, ~100MB/batch vs ~470MB of f32
+# planes+channels — and the gathered coordinates never exist outside VMEM.
+#
+# Per-block ADAPTIVE tiers now scale EVERYTHING: slots are globally
+# compacted (hits leftmost), so a block whose neighborhoods all fit in s_t
+# hits gathers, LRF-reduces, and MLPs only the first s_t slots. Exactness:
+# all LRF moment/vote contributions enter through w-weighted sums and every
+# slot past the hits carries w == 0 — its contribution is an exact 0.0, and
+# adding exact zeros never rounds, so the prefix-reduced sums equal the
+# full-extent sums bitwise up to reduction-tree shape. The max-pool
+# multiply-mask zeroes the same slots. (The LRF eigvec/vote steps are
+# sign-discontinuous on no-eigengap frames, so ULP-level reduction-shape
+# differences can flip degenerate frames — same caveat as every other
+# reduction-order choice here; the oracle tolerance tests gate it.)
+
+_GATHER_BANK = 128  # lane width of Mosaic's dynamic_gather
+
+
+def _pe_kernel_gather_t(
+    qual_ref,
+    xr_ref, yr_ref, zr_ref,  # (1, 1, N) f32 permuted source rows
+    ii_ref,  # (1, S2, p_cols) int16 slot-major pad-filled permuted positions
+    w1_ref, w2_ref,  # (1, S2, p_cols) bf16 slot-major multiset weights
+    cx_ref, cy_ref, cz_ref,  # (1, 1, p_cols) f32 centers
+    wx0_ref, wx1_ref, wx2_ref, bx0_ref, bx1_ref, bx2_ref,
+    out_ref, *, r1: float, r2: float, p_cols: int, s2: int, n: int,
+    ablate: str = "",
+):
+    cx = cx_ref[0]  # (1, p_cols)
+    cy = cy_ref[0]
+    cz = cz_ref[0]
+    qual = qual_ref[pl.program_id(0), pl.program_id(1)]
+
+    def mlp_chunk(chs):
+        h = chs  # (12, 64 * p_cols) bf16
+        for W, b in (
+            (wx0_ref[...], bx0_ref[...]),
+            (wx1_ref[...], bx1_ref[...]),
+            (wx2_ref[...], bx2_ref[...]),
+        ):
+            z = jax.lax.dot_general(
+                W.astype(jnp.bfloat16), h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h = jnp.maximum(z + b, 0.0).astype(jnp.bfloat16)
+        return h  # (256, 64 * p_cols)
+
+    def tier(s_t: int):
+        ii = ii_ref[0, :s_t].astype(jnp.int32)  # (s_t, p_cols)
+        li = ii & (_GATHER_BANK - 1)
+        bi = ii >> 7
+
+        def gather(src_ref):
+            row = src_ref[0]  # (1, N)
+            acc = jnp.zeros((s_t, p_cols), jnp.float32)
+            for k in range(n // _GATHER_BANK):
+                bank = pltpu.repeat(
+                    row[:, _GATHER_BANK * k : _GATHER_BANK * (k + 1)], s_t, 0
+                )
+                vals = jnp.take_along_axis(bank, li, axis=1)
+                acc = jnp.where(bi == k, vals, acc)
+            return acc
+
+        if ablate == "gather":  # ablation: fake slots (benchmarks only)
+            rx = pltpu.repeat(xr_ref[0, :, :p_cols], s_t, 0) - cx
+            ry = pltpu.repeat(yr_ref[0, :, :p_cols], s_t, 0) - cy
+            rz = pltpu.repeat(zr_ref[0, :, :p_cols], s_t, 0) - cz
+        else:
+            rx = gather(xr_ref) - cx  # (s_t, p_cols)
+            ry = gather(yr_ref) - cy
+            rz = gather(zr_ref) - cz
+        m1 = w1_ref[0, :s_t].astype(jnp.float32)
+        m2 = w2_ref[0, :s_t].astype(jnp.float32)
+        if ablate == "lrf":  # ablation: reuse rel coords as LRF channels
+            l1 = (rx, ry, rz)
+            l2 = (rx, ry, rz)
+        else:
+            l1 = _masked_lrf_block_t(rx, ry, rz, m1, r1)
+            l2 = _masked_lrf_block_t(rx, ry, rz, m2, r2)
+        mb1 = (m1 > 0.0).astype(jnp.bfloat16)
+        mb2 = (m2 > 0.0).astype(jnp.bfloat16)
+        acc1 = jnp.zeros((128, p_cols), jnp.float32)
+        acc2 = jnp.zeros((128, p_cols), jnp.float32)
+        if ablate == "mlp":  # ablation: pool raw channels, no MLP
+            a1 = jnp.max(rx * mb1.astype(jnp.float32) + ry + rz + l1[0] + l1[1] + l1[2], axis=0, keepdims=True)
+            a2 = jnp.max(rx * mb2.astype(jnp.float32) + ry + rz + l2[0] + l2[1] + l2[2], axis=0, keepdims=True)
+            out_ref[0] = jnp.concatenate(
+                [pltpu.repeat(a1, 128, 0), pltpu.repeat(a2, 128, 0)], axis=0
+            ).T
+            return
+        for k in range(s_t // 64):
+            sl = slice(64 * k, 64 * (k + 1))
+            chans = jnp.stack(
+                [rx[sl], ry[sl], rz[sl], l1[0][sl], l1[1][sl], l1[2][sl],
+                 rx[sl], ry[sl], rz[sl], l2[0][sl], l2[1][sl], l2[2][sl]],
+                axis=0,
+            )  # (12, 64, p_cols)
+            h = mlp_chunk(chans.reshape(12, 64 * p_cols).astype(jnp.bfloat16))
+            h = h.reshape(256, 64, p_cols)
+            acc1 = jnp.maximum(acc1, jnp.max(h[:128] * mb1[sl][None], axis=1).astype(jnp.float32))
+            acc2 = jnp.maximum(acc2, jnp.max(h[128:] * mb2[sl][None], axis=1).astype(jnp.float32))
+        out_ref[0] = jnp.concatenate([acc1, acc2], axis=0).T
+
+    @pl.when(qual == 2)
+    def _quarter():
+        tier(64)
+
+    @pl.when(qual == 1)
+    def _half():
+        tier(128)
+
+    @pl.when(qual == 0)
+    def _full():
+        tier(s2)
+
+
+def pe_fused_gather_t(
+    planes,  # (xp, yp, zp) each (B, N) f32: PERMUTED source coordinate rows
+    idx_p,  # (B, P, S2) int16/int32 pad-filled permuted slot positions
+    w1,  # (B, P, S2) bf16 scale-1 multiset weights
+    w2,  # (B, P, S2) bf16 scale-2 multiset weights
+    total2,  # (B, P) int32 r2 hit counts
+    center,  # (cx, cy, cz) each (B, P)
+    w1_mlp: Sequence[jnp.ndarray],
+    b1_mlp: Sequence[jnp.ndarray],
+    w2_mlp: Sequence[jnp.ndarray],
+    b2_mlp: Sequence[jnp.ndarray],
+    r1: float,
+    r2: float,
+    p_cols: int = 128,
+    interpret: bool = False,
+    ablate: str = "",
+    force_tier=None,
+) -> jnp.ndarray:
+    """Grouping-fused slot-major PE (PE-v4): consumes slot INDICES from
+    ops/ball_query.two_scale_group_first_k_packed_idx and gathers inside the
+    kernel — no (B, P, S2) coordinate planes in HBM, per-block adaptive
+    gather+LRF+MLP tiers (64/128/s2). Returns (B, P, 256) f32 (pre-mlp3)."""
+    xp, yp, zp = (p.astype(jnp.float32) for p in planes)
+    B, N = xp.shape
+    _, P, S2 = idx_p.shape
+    assert p_cols == _GATHER_BANK, "gather bank decomposition wants 128 lanes"
+    assert P % p_cols == 0 and S2 % 256 == 0 and N % _GATHER_BANK == 0, (P, S2, N)
+    # slot-major transposes of the narrow payloads only (int16 + bf16)
+    iiT = jnp.swapaxes(idx_p, 1, 2)
+    w1T = jnp.swapaxes(w1, 1, 2)
+    w2T = jnp.swapaxes(w2, 1, 2)
+    cx, cy, cz = (c.astype(jnp.float32)[:, None, :] for c in center)  # (B, 1, P)
+
+    bmax = jnp.max(total2.reshape(B, P // p_cols, p_cols), axis=-1)
+    qual = jnp.where(bmax <= 64, 2, jnp.where(bmax <= 128, 1, 0)).astype(jnp.int32)
+    if force_tier is not None:  # benchmarks only: fixed slot budget everywhere
+        qual = jnp.full_like(qual, force_tier)
+
+    grid = (B, P // p_cols)
+    blk_row = pl.BlockSpec((1, 1, N), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    blk_s = pl.BlockSpec((1, S2, p_cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
+    blk_c = pl.BlockSpec((1, 1, p_cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
+    qual_spec = pl.BlockSpec(qual.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    # ONE cross-scale block-diagonal weight set serves every tier
+    Ws = [
+        jnp.concatenate(
+            [
+                jnp.concatenate([Wa, jnp.zeros_like(Wb)], axis=1),
+                jnp.concatenate([jnp.zeros_like(Wa), Wb], axis=1),
+            ],
+            axis=0,
+        ).astype(jnp.float32)
+        for Wa, Wb in zip(w1_mlp, w2_mlp)
+    ]
+    bs = [
+        jnp.concatenate([ba.reshape(-1, 1), bb.reshape(-1, 1)], axis=0).astype(jnp.float32)
+        for ba, bb in zip(b1_mlp, b2_mlp)
+    ]
+    weights = [*Ws, *bs]
+    kernel = functools.partial(
+        _pe_kernel_gather_t, r1=float(r1), r2=float(r2), p_cols=p_cols, s2=S2, n=N,
+        ablate=ablate,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qual_spec] + [blk_row] * 3 + [blk_s] * 3 + [blk_c] * 3 + [full(w) for w in weights],
+        out_specs=pl.BlockSpec((1, p_cols, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
+        interpret=interpret,
+    )(qual, xp[:, None, :], yp[:, None, :], zp[:, None, :], iiT, w1T, w2T, cx, cy, cz, *weights)
+    return out
+
+
 def fold_bn(W: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray, eps: float = 1e-5):
     """Fold inference BatchNorm into the preceding linear: y = s*(Wx - mu)/sqrt(v+eps) + b."""
     inv = scale / jnp.sqrt(var + eps)
