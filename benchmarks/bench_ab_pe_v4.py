@@ -89,10 +89,13 @@ def main():
         return ms
 
     os.environ["UNOPOSE_PE_V4"] = "0"
+    os.environ["UNOPOSE_PE_V5"] = "1"
+    v5 = bench_variant("pe_v5")
+    os.environ["UNOPOSE_PE_V5"] = "0"
     base = bench_variant("default")
     os.environ["UNOPOSE_PE_V4"] = "1"
-    v3 = bench_variant("pe_v4")
-    print(json.dumps({"default_ms": round(base, 2), "pe_v4_ms": round(v3, 2)}))
+    v4 = bench_variant("pe_v4")
+    print(json.dumps({"default_ms": round(base, 2), "pe_v4_ms": round(v4, 2), "pe_v5_ms": round(v5, 2)}))
 
 
 if __name__ == "__main__":

@@ -94,7 +94,7 @@ def main():
         flush=True,
     )
 
-    variants = [("", None), ("", 2), ("", 1), ("", 0), ("gather", None), ("lrf", None), ("mlp", None)]
+    variants = [("", None), ("scratch", None), ("scratch", 0), ("gather", None), ("lrf", None), ("mlp", None)]
     for ab, ft in variants:
         fn = jax.jit(
             lambda e, pl_, ii, a, b, t2_, ab=ab, ft=ft: pe_fused_gather_t(

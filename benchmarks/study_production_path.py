@@ -65,7 +65,7 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-WORK = "/tmp/unopose_study_prod"
+WORK = os.environ.get("UNOPOSE_STUDY_WORK", "/tmp/unopose_study_prod")
 B = 4
 REPS = int(os.environ.get("STUDY_REPS", "26"))  # 104 pairs
 SEED = 20260819
@@ -276,7 +276,10 @@ def role_run(config: str, device: str):
         #   coarse_atten: ViT -> geo embedding -> coarse blocks, end to end
         #   fine_scores:  + PE + fine sparse/dense blocks (available in the
         #                 fused-assignment production path too)
-        keep = {k_: out[k_] for k_ in ("pred_R", "pred_t", "pred_pose_score", "init_R", "init_t")}
+        keep = {
+            k_: out[k_]
+            for k_ in ("pred_R", "pred_t", "pred_pose_score", "init_R", "init_t", "fine_wsvd_max_w")
+        }
         keep["coarse_atten"] = out["coarse_attens"][-1].astype(jnp.float32)
         keep["coarse_scores"] = out["coarse_scores"][-1].astype(jnp.float32)
         keep["fine_scores"] = out["fine_scores"][-1].astype(jnp.float32)
@@ -322,14 +325,28 @@ def role_compare(configs):
         "faithful": stats_of(_rot_err_deg(ref["init_R"], ref["R_gt"])),
     }
     for c in configs:
-        if c == "faithful":
+        if c == "faithful" or not osp.exists(osp.join(WORK, f"out_{c}.npz")):
             continue
         got = np.load(osp.join(WORK, f"out_{c}.npz"))
         rel = lambda k: np.abs(got[k] - ref[k]).reshape(got[k].shape[0], -1).max(1) / (
             np.abs(ref[k]).reshape(ref[k].shape[0], -1).max(1) + 1e-9
         )
         out["init_vs_gt"][c] = stats_of(_rot_err_deg(got["init_R"], got["R_gt"]))
+        # vacuousness gate (VERDICT r4 weak #3): the fine WSVD ran in its
+        # nominal regime only where the max pre-threshold row weight clears
+        # the reference's 0.001 cutoff; final-pose deltas restricted to the
+        # pairs where BOTH configs ran nominally are a REAL fine-stage gate
+        nominal = (got["fine_wsvd_max_w"] > 1e-3) & (ref["fine_wsvd_max_w"] > 1e-3)
+        fine_rot = _rot_err_deg(got["pred_R"], ref["pred_R"])
+        fine_tr = np.linalg.norm(got["pred_t"] - ref["pred_t"], axis=1)
         out["configs"][c] = {
+            "wsvd_nominal_frac": {
+                "faithful": float((ref["fine_wsvd_max_w"] > 1e-3).mean()),
+                c: float((got["fine_wsvd_max_w"] > 1e-3).mean()),
+                "both": float(nominal.mean()),
+            },
+            "final_rot_delta_deg_nominal": (stats_of(fine_rot[nominal]) if nominal.any() else None),
+            "final_trans_delta_nominal": (stats_of(fine_tr[nominal]) if nominal.any() else None),
             # deterministic tensor gates (per-pair max-abs delta, relative
             # to the tensor's own max magnitude)
             "coarse_atten_rel": stats_of(rel("coarse_atten")),

@@ -525,6 +525,69 @@ def test_fine_pe_v3_split_matches_materialized(rng, monkeypatch):
     assert np.quantile(err, 0.95) < 8e-2, np.quantile(err, 0.95)
 
 
+def test_fine_pe_v5_matches_materialized(rng, monkeypatch):
+    """The PE-v5 production path (gather+LRF+channel-store kernel ->
+    slot-major chunked MLP/pool kernel on the index grouping) matches the
+    materialized exact first_k reference on a mixed-tier cloud, and is
+    BITWISE equal to the v4 mega-kernel (same math, split at the measured
+    Mosaic seam)."""
+    from unopose_tpu.models.matching import FinePositionalEncoding
+    from unopose_tpu.ops.ball_query import two_scale_group_first_k_packed_idx
+    from unopose_tpu.ops.pe_fused import pe_fused_gather_t, pe_fused_v5
+
+    monkeypatch.setenv("UNOPOSE_PE_V5", "1")
+    N = 512
+    kw = dict(out_dim=32, r1=0.12, r2=0.24, nsample1=64, nsample2=256, neighbor_mode="first_k")
+    v = rng.normal(size=(1, N, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    base = 0.5 * v + rng.normal(size=(1, N, 3)) * 2e-3
+    th = np.linspace(0, 2 * np.pi, 160, endpoint=False)
+    ring = np.stack([0.115 * np.cos(th), 0.115 * np.sin(th), np.zeros_like(th)], -1)
+    ring = ring + rng.normal(size=ring.shape) * 3e-3
+    base[:, :160] = np.array([2.0, 2.0, 2.0]) + ring
+    pts = jnp.asarray(base.astype(np.float32))
+
+    planes, idx_p, w1, w2, total2, overflow = two_scale_group_first_k_packed_idx(
+        kw["r1"], kw["nsample1"], kw["r2"], kw["nsample2"], pts, interpret=True
+    )
+    assert not bool(overflow)
+    t2 = np.asarray(total2).reshape(1, -1, 128).max(-1)
+    assert (t2 > 128).any() and (t2 <= 64).any(), t2  # 1-chunk AND 3+-chunk tiers
+
+    pe_fus = FinePositionalEncoding(fused=True, **kw)
+    variables = pe_fus.init(jax.random.PRNGKey(0), pts, train=False)
+    stats = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.arange(x.size, dtype=x.dtype) / x.size, variables["batch_stats"]
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(_pe_firstk_reference(variables, pts, kw))
+    got = np.asarray(pe_fus.apply(variables, pts, train=False))
+    err = np.abs(got - want).max(-1)
+    assert np.median(err) < 2e-2, np.median(err)
+    assert np.quantile(err, 0.95) < 8e-2, np.quantile(err, 0.95)
+
+    # kernel-level: v5 split == v4 mega-kernel bitwise
+    from unopose_tpu.ops.pe_fused import fold_bn
+
+    folded = {}
+    for name in ("mlp1", "mlp2"):
+        Ws, bs = [], []
+        for i in range(3):
+            W = variables["params"][f"{name}_fc{i}_kernel"]
+            bn = variables["batch_stats"][f"{name}_bn{i}"]
+            sc = variables["params"][f"{name}_bn{i}"]
+            Wf, bf = fold_bn(W, sc["scale"], sc["bias"], bn["mean"], bn["var"])
+            Ws.append(Wf)
+            bs.append(bf)
+        folded[name] = (Ws, bs)
+    args = (planes, idx_p, w1, w2, total2, (pts[..., 0], pts[..., 1], pts[..., 2]),
+            *folded["mlp1"], *folded["mlp2"], kw["r1"], kw["r2"])
+    a = np.asarray(pe_fused_gather_t(*args, interpret=True))
+    b = np.asarray(pe_fused_v5(*args, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fine_pe_firstk_packed_mixed_block_paths(rng):
     """The fused packed kernel picks fast (half-budget, cross-scale packed)
     vs full per point-block. Build a cloud where a dense-but-not-overflowing

@@ -209,6 +209,41 @@ def pe_packed_firstk_path(m: "FinePositionalEncoding", pts, center, use_kernel: 
     from unopose_tpu.ops.pe_fused import pe_fused_packed, pe_fused_packed_t
 
     folded = _pe_folded_params(m)
+    use_v5 = (
+        use_kernel
+        and pts.shape[1] % 128 == 0
+        and m.nsample2 == 256
+        and _os.environ.get("UNOPOSE_PE_V5", "1") == "1"
+    )
+    if use_v5:
+        # PE-v5 (PRODUCTION): gather+LRF+channel-store kernel -> slot-major
+        # chunked MLP/pool kernel, on the index grouping (no slot
+        # materialization). Splits the v4 mega-fusion at the measured seam
+        # (ops/pe_fused.py v5 comment); bitwise-equal to pe_fused_gather_t.
+        # Full-model A/B on the chip: 54.8 vs 64.0 ms/16-pair batch — the
+        # round-4 PE plateau broken (benchmarks/bench_ab_pe_v4.py, round 5).
+        # UNOPOSE_PE_V5=0 restores the point-major packed kernel.
+        from unopose_tpu.ops.pe_fused import pe_fused_v5
+
+        planes, idx_p, w1, w2, total2, overflow = two_scale_group_first_k_packed_idx(
+            m.r1, m.nsample1, m.r2, m.nsample2, pts
+        )
+
+        def fast_v5(pts):
+            return pe_fused_v5(
+                planes, idx_p, w1, w2, total2, center,
+                *folded["mlp1"], *folded["mlp2"],
+                m.r1, m.r2, interpret=not on_tpu,
+            )
+
+        def slow_v5(pts):
+            g1e, g2e = two_scale_group_exact_planar(m.r1, m.nsample1, m.r2, m.nsample2, pts)
+            f1 = _folded_scale_planar(center, g1e, m.r1, *folded["mlp1"])
+            f2 = _folded_scale_planar(center, g2e, m.r2, *folded["mlp2"])
+            return jnp.swapaxes(jnp.concatenate([f1, f2], axis=1), 1, 2)
+
+        return jax.lax.cond(overflow, slow_v5, fast_v5, pts)
+
     use_v4 = (
         use_kernel
         and pts.shape[1] % 128 == 0

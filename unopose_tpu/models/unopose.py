@@ -306,7 +306,7 @@ class UNOPose(nn.Module):
             out["pred_t"] = init_t * (radius[:, None] + 1e-6)
             out["pred_pose_score"] = out["init_pose_score"]
             if not return_intermediates:
-                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score")
+                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score", "fine_wsvd_max_w")
                 out = {k: out[k] for k in keep if k in out}
             return out
 
@@ -338,7 +338,7 @@ class UNOPose(nn.Module):
         if not train and use_fused_assign:
             from unopose_tpu.ops.assignment_fused import compute_fine_Rt_overlap_fused
 
-            pred_R, pred_t, pred_score = compute_fine_Rt_overlap_fused(
+            pred_R, pred_t, pred_score, max_w = compute_fine_Rt_overlap_fused(
                 f_projs[-1][0],
                 f_projs[-1][1],
                 f_scores[-1],
@@ -348,16 +348,20 @@ class UNOPose(nn.Module):
                 temp=fm.get("temp", 0.1),
                 interpret=jax.default_backend() != "tpu",
             )
+            out["fine_wsvd_max_w"] = max_w
             out["pred_R"] = pred_R
             out["pred_t"] = pred_t * (radius[:, None] + 1e-6)
             out["pred_pose_score"] = pred_score
             if not return_intermediates:
-                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score")
+                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score", "fine_wsvd_max_w")
                 out = {k: out[k] for k in keep if k in out}
             return out
 
         if not train:
-            pred_R, pred_t, pred_score = compute_fine_Rt_overlap(f_attens[-1], f_scores[-1], dense_pm, dense_po, None)
+            pred_R, pred_t, pred_score, max_w = compute_fine_Rt_overlap(
+                f_attens[-1], f_scores[-1], dense_pm, dense_po, None, return_aux=True
+            )
+            out["fine_wsvd_max_w"] = max_w
             out["pred_R"] = pred_R
             out["pred_t"] = pred_t * (radius[:, None] + 1e-6)
             out["pred_pose_score"] = pred_score
@@ -365,7 +369,7 @@ class UNOPose(nn.Module):
                 # keep only the pose results live: retaining the (B, n+1, n+1)
                 # similarity matrices and dense features across inference
                 # steps wastes ~0.5GB/batch of HBM
-                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score")
+                keep = ("radius", "init_R", "init_t", "init_pose_score", "pred_R", "pred_t", "pred_pose_score", "fine_wsvd_max_w")
                 out = {k: out[k] for k in keep if k in out}
         return out
 

@@ -284,4 +284,9 @@ def compute_fine_Rt_overlap_fused(
     inlier = (d < dis_thres).astype(jnp.float32)
     pose_score = jnp.sum(inlier * mask, axis=1) / (jnp.sum(mask, axis=1) + 1e-8)
     pose_score = pose_score * jnp.mean(mask, axis=1)
-    return R, t, pose_score
+    # max pre-threshold WSVD row weight: > 0.001 means the weighted
+    # Procrustes ran in its nominal regime (not the identity fallback) —
+    # the vacuousness gate for accuracy studies (weight_thresh semantics:
+    # reference model_utils.py:527-566)
+    max_w = jnp.max(weights, axis=1)
+    return R, t, pose_score, max_w

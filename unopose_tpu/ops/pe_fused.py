@@ -640,7 +640,7 @@ def _pe_kernel_gather_t(
     w1_ref, w2_ref,  # (1, S2, p_cols) bf16 slot-major multiset weights
     cx_ref, cy_ref, cz_ref,  # (1, 1, p_cols) f32 centers
     wx0_ref, wx1_ref, wx2_ref, bx0_ref, bx1_ref, bx2_ref,
-    out_ref, *, r1: float, r2: float, p_cols: int, s2: int, n: int,
+    out_ref, ch_ref, *, r1: float, r2: float, p_cols: int, s2: int, n: int,
     ablate: str = "",
 ):
     cx = cx_ref[0]  # (1, p_cols)
@@ -699,6 +699,22 @@ def _pe_kernel_gather_t(
         mb2 = (m2 > 0.0).astype(jnp.bfloat16)
         acc1 = jnp.zeros((128, p_cols), jnp.float32)
         acc2 = jnp.zeros((128, p_cols), jnp.float32)
+        if ablate == "scratch":
+            # materialize the 12 channels in VMEM scratch (bf16), then run
+            # the chunk loop on scratch LOADS: decouples the LRF dataflow
+            # from the per-chunk stack/reshape (the measured ~9 ms
+            # interaction in the fused form)
+            for ci, v in enumerate((rx, ry, rz, *l1, rx, ry, rz, *l2)):
+                ch_ref[ci, :s_t, :] = v.astype(jnp.bfloat16)
+            for k in range(s_t // 64):
+                sl = slice(64 * k, 64 * (k + 1))
+                ch = ch_ref[:, sl, :]  # (12, 64, p_cols) bf16
+                h = mlp_chunk(ch.reshape(12, 64 * p_cols))
+                h = h.reshape(256, 64, p_cols)
+                acc1 = jnp.maximum(acc1, jnp.max(h[:128] * mb1[sl][None], axis=1).astype(jnp.float32))
+                acc2 = jnp.maximum(acc2, jnp.max(h[128:] * mb2[sl][None], axis=1).astype(jnp.float32))
+            out_ref[0] = jnp.concatenate([acc1, acc2], axis=0).T
+            return
         if ablate == "mlp":  # ablation: pool raw channels, no MLP
             a1 = jnp.max(rx * mb1.astype(jnp.float32) + ry + rz + l1[0] + l1[1] + l1[2], axis=0, keepdims=True)
             a2 = jnp.max(rx * mb2.astype(jnp.float32) + ry + rz + l2[0] + l2[1] + l2[2], axis=0, keepdims=True)
@@ -803,8 +819,230 @@ def pe_fused_gather_t(
         in_specs=[qual_spec] + [blk_row] * 3 + [blk_s] * 3 + [blk_c] * 3 + [full(w) for w in weights],
         out_specs=pl.BlockSpec((1, p_cols, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((12, S2, p_cols), jnp.bfloat16)],
         interpret=interpret,
     )(qual, xp[:, None, :], yp[:, None, :], zp[:, None, :], iiT, w1T, w2T, cx, cy, cz, *weights)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# v5: two-kernel split — gather+LRF+channel-store kernel -> slot-major MLP/pool
+# ---------------------------------------------------------------------------
+#
+# The v4 ablation (benchmarks/profile_pe_v4.py) showed the mega-fusion's
+# cost is an INTERACTION: gather (1.2 ms), LRF (~0.4 ms marginal when the
+# MLP is ablated), and the chunked MLP (~4.4 ms marginal when the LRF
+# channels are cheap aliases) each measure small, but real LRF values
+# feeding the in-kernel channel-stack + MLP cost ~9 ms extra — and routing
+# the channels through VMEM scratch does NOT fix it (17.8 vs 17.9 ms), so
+# it is a Mosaic scheduling pathology of the combined dataflow, not a
+# missing materialization. v5 splits at exactly the measured seam:
+#
+#   kernel A (pe_channels_gather_t): banked gather + both scales' LRF +
+#     channel STORES to HBM, slot-major (B, 12, S2, P) bf16, tier-pruned
+#     (blocks whose neighborhoods fit in s_t hits only gather/store the
+#     first s_t slot rows; rows past the tier are never read downstream).
+#   kernel B (pe_mlp_pool_packed_v5): reads 64-slot chunk blocks of A's
+#     output + the slot-major multiset weights, runs the cross-scale
+#     block-diagonal MLP cols-major per chunk and the multiply-masked max,
+#     chunk count per block = ceil(bmax/64) — the v3 adaptive-tier MLP on
+#     slot-major chunks.
+#
+# Bitwise vs pe_fused_packed_t / pe_fused_gather_t: identical reduction
+# axes and the same pre-MLP bf16 cast point; tier prefixes only drop
+# exact-zero contributions (see the v4 comment).
+
+
+def _pe_kernel_channels_t(
+    qual_ref,
+    xr_ref, yr_ref, zr_ref,  # (1, 1, N) f32 permuted source rows
+    ii_ref,  # (1, S2, p_cols) int16 slot-major pad-filled permuted positions
+    w1_ref, w2_ref,  # (1, S2, p_cols) bf16 slot-major multiset weights
+    cx_ref, cy_ref, cz_ref,  # (1, 1, p_cols) f32 centers
+    out_ref,  # (1, 12, S2, p_cols) bf16 channel planes
+    *, r1: float, r2: float, p_cols: int, s2: int, n: int,
+):
+    cx = cx_ref[0]
+    cy = cy_ref[0]
+    cz = cz_ref[0]
+    qual = qual_ref[pl.program_id(0), pl.program_id(1)]
+
+    def tier(s_t: int):
+        ii = ii_ref[0, :s_t].astype(jnp.int32)
+        li = ii & (_GATHER_BANK - 1)
+        bi = ii >> 7
+
+        def gather(src_ref):
+            row = src_ref[0]
+            acc = jnp.zeros((s_t, p_cols), jnp.float32)
+            for k in range(n // _GATHER_BANK):
+                bank = pltpu.repeat(
+                    row[:, _GATHER_BANK * k : _GATHER_BANK * (k + 1)], s_t, 0
+                )
+                vals = jnp.take_along_axis(bank, li, axis=1)
+                acc = jnp.where(bi == k, vals, acc)
+            return acc
+
+        rx = gather(xr_ref) - cx
+        ry = gather(yr_ref) - cy
+        rz = gather(zr_ref) - cz
+        m1 = w1_ref[0, :s_t].astype(jnp.float32)
+        m2 = w2_ref[0, :s_t].astype(jnp.float32)
+        l1 = _masked_lrf_block_t(rx, ry, rz, m1, r1)
+        l2 = _masked_lrf_block_t(rx, ry, rz, m2, r2)
+        for ci, v in enumerate((rx, ry, rz, *l1, rx, ry, rz, *l2)):
+            out_ref[0, ci, :s_t, :] = v.astype(jnp.bfloat16)
+
+    @pl.when(qual == 2)
+    def _quarter():
+        tier(64)
+
+    @pl.when(qual == 1)
+    def _half():
+        tier(128)
+
+    @pl.when(qual == 0)
+    def _full():
+        tier(s2)
+
+
+def _pe_kernel_mlp_v5(
+    qual_ref,
+    c0_ref, c1_ref, c2_ref, c3_ref,  # (1, 12, 64, p_cols) bf16 channel chunks
+    m0_ref, m1_ref, m2_ref, m3_ref,  # (1, 2, 64, p_cols) bf16 weight chunks (w1|w2)
+    wx0_ref, wx1_ref, wx2_ref, bx0_ref, bx1_ref, bx2_ref,
+    out_ref, acc_ref, *, p_cols: int,
+):
+    qual = qual_ref[pl.program_id(0), pl.program_id(1)]
+
+    def chunk_pool(c_ref, m_ref):
+        h = c_ref[0].reshape(12, 64 * p_cols)  # (12, 64, p_cols) -> cols
+        for W, b in (
+            (wx0_ref[...], bx0_ref[...]),
+            (wx1_ref[...], bx1_ref[...]),
+            (wx2_ref[...], bx2_ref[...]),
+        ):
+            z = jax.lax.dot_general(
+                W.astype(jnp.bfloat16), h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h = jnp.maximum(z + b, 0.0).astype(jnp.bfloat16)
+        h = h.reshape(256, 64, p_cols)
+        mb1 = (m_ref[0, 0].astype(jnp.float32) > 0.0).astype(jnp.bfloat16)
+        mb2 = (m_ref[0, 1].astype(jnp.float32) > 0.0).astype(jnp.bfloat16)
+        # multiply-mask max (see _scale_block): h >= 0 post-relu, every
+        # neighborhood has >= 1 valid slot somewhere, zeros never win
+        return jnp.concatenate(
+            [
+                jnp.max(h[:128] * mb1[None], axis=1).astype(jnp.float32),
+                jnp.max(h[128:] * mb2[None], axis=1).astype(jnp.float32),
+            ],
+            axis=0,
+        )  # (256, p_cols)
+
+    acc_ref[...] = chunk_pool(c0_ref, m0_ref)
+    for c, (c_ref, m_ref) in enumerate(((c1_ref, m1_ref), (c2_ref, m2_ref), (c3_ref, m3_ref)), start=1):
+        @pl.when(qual > c)
+        def _(c_ref=c_ref, m_ref=m_ref):
+            acc_ref[...] = jnp.maximum(acc_ref[...], chunk_pool(c_ref, m_ref))
+
+    out_ref[0] = acc_ref[...].T
+
+
+def pe_fused_v5(
+    planes,  # (xp, yp, zp) each (B, N) f32: PERMUTED source coordinate rows
+    idx_p,  # (B, P, S2) int16/int32 pad-filled permuted slot positions
+    w1,  # (B, P, S2) bf16 scale-1 multiset weights
+    w2,  # (B, P, S2) bf16 scale-2 multiset weights
+    total2,  # (B, P) int32 r2 hit counts
+    center,  # (cx, cy, cz) each (B, P)
+    w1_mlp: Sequence[jnp.ndarray],
+    b1_mlp: Sequence[jnp.ndarray],
+    w2_mlp: Sequence[jnp.ndarray],
+    b2_mlp: Sequence[jnp.ndarray],
+    r1: float,
+    r2: float,
+    p_cols: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """PE-v5: gather+LRF+channel-store kernel -> slot-major chunked MLP/pool
+    kernel (see the v5 module comment for the measured rationale). Consumes
+    the index grouping (two_scale_group_first_k_packed_idx). Returns
+    (B, P, 256) f32 pre-mlp3 features, bitwise-equal to pe_fused_gather_t.
+    """
+    xp, yp, zp = (p.astype(jnp.float32) for p in planes)
+    B, N = xp.shape
+    _, P, S2 = idx_p.shape
+    assert p_cols == _GATHER_BANK, "gather bank decomposition wants 128 lanes"
+    assert P % p_cols == 0 and S2 == 256 and N % _GATHER_BANK == 0, (P, S2, N)
+    iiT = jnp.swapaxes(idx_p, 1, 2)
+    w1T = jnp.swapaxes(w1, 1, 2)
+    w2T = jnp.swapaxes(w2, 1, 2)
+    cx, cy, cz = (c.astype(jnp.float32)[:, None, :] for c in center)  # (B, 1, P)
+
+    bmax = jnp.max(total2.reshape(B, P // p_cols, p_cols), axis=-1)
+    qual_a = jnp.where(bmax <= 64, 2, jnp.where(bmax <= 128, 1, 0)).astype(jnp.int32)
+    qual_b = jnp.clip((bmax + 63) // 64, 1, 4).astype(jnp.int32)
+
+    grid = (B, P // p_cols)
+    blk_row = pl.BlockSpec((1, 1, N), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    blk_s = pl.BlockSpec((1, S2, p_cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
+    blk_c = pl.BlockSpec((1, 1, p_cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
+    qual_spec = pl.BlockSpec(qual_a.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    # kernel A: channels (slot rows past a block's tier stay unwritten —
+    # kernel B's chunk count for that block never reads them)
+    kern_a = functools.partial(
+        _pe_kernel_channels_t, r1=float(r1), r2=float(r2), p_cols=p_cols, s2=S2, n=N
+    )
+    chansT = pl.pallas_call(
+        kern_a,
+        grid=grid,
+        in_specs=[qual_spec] + [blk_row] * 3 + [blk_s] * 3 + [blk_c] * 3,
+        out_specs=pl.BlockSpec((1, 12, S2, p_cols), lambda b, j: (b, 0, 0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 12, S2, P), jnp.bfloat16),
+        interpret=interpret,
+    )(qual_a, xp[:, None, :], yp[:, None, :], zp[:, None, :], iiT, w1T, w2T, cx, cy, cz)
+
+    # ONE cross-scale block-diagonal weight set
+    Ws = [
+        jnp.concatenate(
+            [
+                jnp.concatenate([Wa, jnp.zeros_like(Wb)], axis=1),
+                jnp.concatenate([jnp.zeros_like(Wa), Wb], axis=1),
+            ],
+            axis=0,
+        ).astype(jnp.float32)
+        for Wa, Wb in zip(w1_mlp, w2_mlp)
+    ]
+    bs = [
+        jnp.concatenate([ba.reshape(-1, 1), bb.reshape(-1, 1)], axis=0).astype(jnp.float32)
+        for ba, bb in zip(b1_mlp, b2_mlp)
+    ]
+    weights = [*Ws, *bs]
+
+    w12T = jnp.stack([w1T, w2T], axis=1)  # (B, 2, S2, P)
+    chunk_spec = lambda c: pl.BlockSpec(
+        (1, 12, 64, p_cols), lambda b, j, c=c: (b, 0, c, j), memory_space=pltpu.VMEM
+    )
+    wchunk_spec = lambda c: pl.BlockSpec(
+        (1, 2, 64, p_cols), lambda b, j, c=c: (b, 0, c, j), memory_space=pltpu.VMEM
+    )
+    kern_b = functools.partial(_pe_kernel_mlp_v5, p_cols=p_cols)
+    out = pl.pallas_call(
+        kern_b,
+        grid=grid,
+        in_specs=[qual_spec]
+        + [chunk_spec(c) for c in range(4)]
+        + [wchunk_spec(c) for c in range(4)]
+        + [full(w) for w in weights],
+        out_specs=pl.BlockSpec((1, p_cols, 256), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((256, p_cols), jnp.float32)],
+        interpret=interpret,
+    )(qual_b, chansT, chansT, chansT, chansT, w12T, w12T, w12T, w12T, *weights)
     return out
 
 

@@ -216,6 +216,7 @@ def compute_fine_Rt_overlap(
     pts2: jnp.ndarray,
     model_pts: jnp.ndarray | None = None,
     dis_thres: float = 0.15,
+    return_aux: bool = False,
 ):
     """Soft-correspondence weighted-SVD fine pose (reference model_utils.py:527-566).
 
@@ -250,4 +251,9 @@ def compute_fine_Rt_overlap(
     inlier = (d < dis_thres).astype(jnp.float32)
     pose_score = jnp.sum(inlier * mask, axis=1) / (jnp.sum(mask, axis=1) + 1e-8)
     pose_score = pose_score * jnp.mean(mask, axis=1)
+    if return_aux:
+        # max pre-threshold WSVD row weight: > 0.001 certifies the weighted
+        # Procrustes ran nominally (not the identity fallback) — the
+        # vacuousness gate for accuracy studies
+        return R, t, pose_score, jnp.max(weights, axis=1)
     return R, t, pose_score
