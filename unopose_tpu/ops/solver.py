@@ -24,14 +24,17 @@ from unopose_tpu.ops.geometry import pairwise_sqdist
 from unopose_tpu.ops.procrustes import weighted_procrustes
 
 
-def searchsorted_cdf(cum: jnp.ndarray, r: jnp.ndarray, seg: int = 49) -> jnp.ndarray:
+def searchsorted_cdf(cum: jnp.ndarray, r: jnp.ndarray, seg: int = 49, super_seg: int = 28) -> jnp.ndarray:
     """Vectorized searchsorted('left') into a sorted CDF, per batch row.
 
-    Equivalent to ``jnp.searchsorted(cum[b], r[b])`` but two-level: count
-    full segments below r via a fused compare-reduce over the (G,) segment
-    edges, then gather ONE seg-wide window per query and count inside it.
-    Avoids the (N+Q)-wide sort that ``method='sort'`` pays (~10ms/batch at
-    the coarse solver's operating point; this form is compare/gather-bound).
+    Equivalent to ``jnp.searchsorted(cum[b], r[b])`` but THREE-level: count
+    full SUPER-segments below r over the (G1,) super-edges, gather one
+    super-window of segment edges and count inside it (recovering the full
+    segment index), then gather ONE seg-wide value window per query and
+    count inside it. Avoids both the (N+Q)-wide sort that ``method='sort'``
+    pays (~10 ms/batch at the coarse solver's operating point) and the flat
+    two-level form's (Q, G) compare sweep (G ~ 784 edges -> ~105 compares
+    per query here; measured 1.11 -> ~0.6 ms at the operating point).
 
     cum: (B, N) nondecreasing, r: (B, Q). Returns int32 (B, Q) in [0, N].
     """
@@ -46,7 +49,18 @@ def searchsorted_cdf(cum: jnp.ndarray, r: jnp.ndarray, seg: int = 49) -> jnp.nda
         cum = jnp.concatenate([cum, jnp.broadcast_to(cum[:, -1:], (B, pad))], axis=1)
     win = cum.reshape(B, G, seg)
     edges = win[:, :, -1]  # (B, G) right edge of each segment
-    nfull = jnp.sum(edges[:, None, :] < r[:, :, None], axis=-1).astype(jnp.int32)  # (B, Q)
+    G1 = -(-G // super_seg)
+    epad = G1 * super_seg - G
+    if epad:
+        edges_p = jnp.concatenate([edges, jnp.broadcast_to(edges[:, -1:], (B, epad))], axis=1)
+    else:
+        edges_p = edges
+    ewin = edges_p.reshape(B, G1, super_seg)
+    super_edges = ewin[:, :, -1]  # (B, G1)
+    n1 = jnp.sum(super_edges[:, None, :] < r[:, :, None], axis=-1).astype(jnp.int32)  # (B, Q)
+    esel = gather_points(ewin, jnp.minimum(n1, G1 - 1))  # (B, Q, super_seg)
+    n2 = jnp.sum(esel < r[..., None], axis=-1).astype(jnp.int32)
+    nfull = jnp.minimum(n1 * super_seg + n2, G)  # full segments below r
     wsel = gather_points(win, jnp.minimum(nfull, G - 1))  # (B, Q, seg)
     cnt = jnp.sum(wsel < r[..., None], axis=-1).astype(jnp.int32)
     return jnp.minimum(nfull * seg + cnt, N)
@@ -128,14 +142,28 @@ def compute_coarse_Rt_overlap(
 
     # one-hot matmul gather: 18k random-index gathers from a 196-point cloud
     # run ~12x faster as an MXU contraction than as a vector gather
-    # (benchmarks/profile_solver_split.py s5). Exact: one-hot rows select a
-    # single fp32 value and HIGHEST precision keeps the full mantissa
-    # through the bf16x3 decomposition.
-    hi = jax.lax.Precision.HIGHEST
-    oh1 = jax.nn.one_hot(idx1, N1, dtype=jnp.float32)  # (B, 3*P1, N1)
-    oh2 = jax.nn.one_hot(idx2, N2, dtype=jnp.float32)
-    g1 = jnp.einsum("bqn,bnc->bqc", oh1, pts1, precision=hi)  # (B, 3*P1, 3)
-    g2 = jnp.einsum("bqn,bnc->bqc", oh2, pts2, precision=hi)
+    # (benchmarks/profile_solver_split.py s5). Exactness with 3 DEFAULT
+    # passes instead of HIGHEST's operand-pair decomposition: the one-hot
+    # side is 0/1 (bf16-exact), and the point side splits into three
+    # non-overlapping bf16 components p0+p1+p2 == pts bitwise (f32's 24
+    # mantissa bits = 3 x 8); a one-hot row selects a single value, so the
+    # fp32-accumulated sum of the three partial gathers rebuilds the exact
+    # f32 coordinate. On TPU each DEFAULT bf16 pass is 1 MXU pass: 3 total.
+    oh1 = jax.nn.one_hot(idx1, N1, dtype=jnp.bfloat16)  # (B, 3*P1, N1)
+    oh2 = jax.nn.one_hot(idx2, N2, dtype=jnp.bfloat16)
+
+    def _x3_gather(oh, p):
+        p0 = p.astype(jnp.bfloat16)
+        r1_ = p - p0.astype(jnp.float32)
+        p1 = r1_.astype(jnp.bfloat16)
+        p2 = (r1_ - p1.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda pk: jax.lax.dot_general(
+            oh, pk, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return dot(p0) + dot(p1) + dot(p2)  # (B, Q, 3) exact f32
+
+    g1 = _x3_gather(oh1, pts1)
+    g2 = _x3_gather(oh2, pts2)
     r_m = [tuple(g1[:, m::3, k] for k in range(3)) for m in range(3)]  # ref = pts1 triplets
     s_m = [tuple(g2[:, m::3, k] for k in range(3)) for m in range(3)]  # src = pts2 triplets
 
