@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Any, List, Sequence, Tuple
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -126,9 +128,12 @@ class CoarsePointMatching(nn.Module):
 class _BNVars(nn.Module):
     """Declares/reads the exact variable tree of an nn.BatchNorm child
     (params: scale, bias; batch_stats: mean, var) without applying it — the
-    fused inference path folds these into the MLP weights instead."""
+    fused inference path folds these into the MLP weights instead; the
+    fused TRAIN path (ops/pe_train.py) reads the refs to run the flax
+    running-stat update itself (``mutable=True``)."""
 
     features: int
+    mutable: bool = False
 
     @nn.compact
     def __call__(self):
@@ -136,6 +141,8 @@ class _BNVars(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32))
         var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
+        if self.mutable:
+            return scale, bias, mean, var
         return scale, bias, mean.value, var.value
 
 
@@ -436,6 +443,56 @@ class FinePositionalEncoding(nn.Module):
         else:
             chans += list(rel)
         h = jnp.stack(chans, axis=1).astype(cdt)  # (B, C, P, S)
+
+        on_tpu = jax.default_backend() == "tpu"
+        use_fused_train = (
+            train
+            and self.use_bn
+            and mask is None
+            and tuple(mlp_dims) == (32, 64, 128)
+            and h.shape[1] == 6
+            and h.shape[2] % 32 == 0
+            and (self.fused is True or os.environ.get("UNOPOSE_PE_TRAIN_FUSED") == "1")
+        )
+        if use_fused_train:
+            # fused train-path MLP/BN/pool with a custom VJP
+            # (ops/pe_train.py): the (B, {32,64,128}, P, S) activation
+            # family never reaches HBM in fwd OR bwd — it was 98.9 ms of
+            # the 162 ms train backward as XLA (profile_train_bwd.py).
+            # Channels are stop-gradded (coordinates are data; the fine
+            # init pose is a GT-noise label), so the VJP computes only
+            # (dW, dgamma, dbeta) — oracle-tested exact vs autodiff in
+            # fp32 mode (tests/test_pe_train.py).
+            # GATED OFF by default: measured 267 vs 249 ms/step on the
+            # chip. Exact BN-train semantics force a pass-structured
+            # pipeline (3 stats + 1 fwd + 3 bwd-sums + 1 bwd-dW, each
+            # recomputing the chain in VMEM) — ~42 full-chain MXU units vs
+            # the XLA path's ~9; the recompute tax exceeds the HBM-traffic
+            # cost it removes. The module stays as the validated basis for
+            # a frozen-BN fast-train variant (1 fwd + 2 bwd passes), which
+            # WOULD win but deviates from the reference recipe.
+            from unopose_tpu.ops.pe_train import pe_mlp_bn_pool_train
+
+            Ws, gammas, betas, mvars, vvars = [], [], [], [], []
+            for i, d in enumerate(mlp_dims):
+                cin = 6 if i == 0 else mlp_dims[i - 1]
+                Ws.append(self.param(f"{name}_fc{i}_kernel", nn.initializers.he_normal(), (cin, d)))
+                scale, bias, mv, vv = _BNVars(d, mutable=True, name=f"{name}_bn{i}")()
+                gammas.append(scale)
+                betas.append(bias)
+                mvars.append(mv)
+                vvars.append(vv)
+            pooled, (mus, vars_) = pe_mlp_bn_pool_train(
+                jax.lax.stop_gradient(h.astype(jnp.float32)), Ws, gammas, betas,
+                interpret=not on_tpu,
+            )
+            if not self.is_initializing():
+                for i in range(3):
+                    # flax BatchNorm running update, momentum 0.9
+                    mvars[i].value = 0.9 * mvars[i].value + 0.1 * mus[i]
+                    vvars[i].value = 0.9 * vvars[i].value + 0.1 * vars_[i]
+            return jnp.swapaxes(pooled[..., : mlp_dims[-1]], 1, 2)  # (B, d, P)
+
         for i, d in enumerate(mlp_dims):
             cin = h.shape[1]
             W = self.param(f"{name}_fc{i}_kernel", nn.initializers.he_normal(), (cin, d))
