@@ -123,3 +123,32 @@ def test_searchsorted_cdf_matches_numpy():
         got = np.asarray(searchsorted_cdf(jnp.asarray(cum), jnp.asarray(r)))
         want = np.stack([np.searchsorted(cum[b], r[b], side="left") for b in range(3)])
         np.testing.assert_array_equal(got, want)
+
+
+def test_hypothesis_select_kernel_matches_xla(rng):
+    """The fused hypothesis-selection kernel (ops/hyp_select.py, interpret
+    mode) matches the XLA selection pass of compute_coarse_Rt_overlap on
+    scores (bf16-grade tolerance; TP is bf16 in BOTH paths) and picks the
+    same argmax hypothesis."""
+    from unopose_tpu.ops.geometry import pairwise_sqdist
+    from unopose_tpu.ops.hyp_select import hypothesis_select_scores
+    from unopose_tpu.ops.pose_utils import quat2mat
+
+    B, N1, N2, P2 = 2, 196, 196, 300
+    pts1 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, N1, 3)).astype(np.float32))
+    model = jnp.asarray(rng.uniform(-0.5, 0.5, (B, N2, 3)).astype(np.float32))
+    q = rng.standard_normal((B, P2, 4))
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    rs = quat2mat(jnp.asarray(q.astype(np.float32)))
+    ts = jnp.asarray(rng.uniform(-0.2, 0.2, (B, P2, 3)).astype(np.float32))
+    w1 = jnp.asarray((rng.random((B, N1)) < 0.7).astype(np.float32))
+
+    tp = jnp.matmul(pts1[:, None] - ts[:, :, None, :], rs)
+    d2 = pairwise_sqdist(tp, model[:, None])
+    d = jnp.sqrt(jnp.maximum(jnp.min(d2, -1), 0.0))
+    want = np.asarray(jnp.sum(w1, 1)[:, None] / (jnp.sum(d * w1[:, None], 2) + 1e-8))
+    got = np.asarray(hypothesis_select_scores(pts1, model, rs, ts, w1, interpret=True))
+    rel = np.abs(want - got) / (np.abs(want) + 1e-9)
+    assert np.median(rel) < 3e-3, np.median(rel)
+    assert rel.max() < 2e-2, rel.max()
+    assert (want.argmax(1) == got.argmax(1)).all()

@@ -209,13 +209,16 @@ def compute_coarse_Rt_overlap(
     ts = jnp.stack([take(tx), take(ty), take(tz)], axis=-1)[:, :, None, :]  # (B, P2, 1, 3)
 
     # hypothesis selection: inlier-weighted mean distance to model points.
-    # One fused pass: XLA folds the min over N2 into the distance
-    # computation, and sqrt(min(d2)) == min(sqrt(d2)) needs only one sqrt
-    # over (B, P2, N1) — profiled faster than the former lax.map chunking
-    # (which serialized 10 sequential chunk dispatches). The fused pass
-    # materializes a (B, P2, N1, N2) tensor (~740MB fp32 at the B=16
-    # defaults); above a ~1.2GB budget the requested ``selection_chunks``
-    # splits the hypotheses so large batch / n_proposal2 cannot OOM.
+    # One fused XLA pass: the min folds into the distance computation, and
+    # sqrt(min(d2)) == min(sqrt(d2)) needs only one sqrt over (B, P2, N1) —
+    # profiled faster than the former lax.map chunking AND faster than a
+    # per-hypothesis fused Pallas kernel (ops/hyp_select.py: all-in-VMEM
+    # transform -> min -> weighted sum measured 57.8 vs 55.4 ms full-model —
+    # 4800 serialized tiny-matmul pipelines lose to XLA's batched GEMMs
+    # despite the ~740MB d2 materialization; kernel kept + oracle-tested as
+    # the documented negative). Above a ~1.2GB budget the requested
+    # ``selection_chunks`` splits the hypotheses so large batch /
+    # n_proposal2 cannot OOM.
     def _sel_scores(rs_c, ts_c):
         tp = jnp.matmul(pts1[:, None] - ts_c, rs_c)  # (B, p, N1, 3)
         d2 = pairwise_sqdist(tp, model_pts[:, None])  # (B, p, N1, N2)
