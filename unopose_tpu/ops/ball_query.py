@@ -425,6 +425,100 @@ def _first_k_keys_pallas(
     return outs
 
 
+def _compact_stage_pallas(
+    raw_keys: jnp.ndarray,  # (B, C, N, W) int16: key = W - w + 2W*m2 + 4W*m1
+    compact: int,
+    rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stage 2 of the SPLIT keys pipeline: decode the raw 3-level keys ->
+    per-chunk rank + budget filter -> stream compaction -> global
+    compaction. Outputs are bitwise-identical to the single-kernel compact
+    path (same rank matmuls, same shift rounds, same payload encoding).
+
+    Why a split: in the fused kernel the compaction measured ~5.5 ms while
+    the SAME shift rounds cost ~1 ms in isolation
+    (benchmarks/profile_compact_micro.py) — the d2/mask pipeline and the
+    serial shift chains de-optimize each other when Mosaic schedules them
+    in one kernel, the same in-context pathology the PE-v5 split fixed.
+    The hop costs one (B, C, N, W) int16 round trip (~268 MB/batch).
+    Returns sel (B, N, k2) int16 (payload pos*4 | m1*2 | valid, hits
+    leftmost).
+    """
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, C, N, W = raw_keys.shape
+    k2 = C * compact
+    assert N % rows == 0
+
+    def kernel(raw_ref, lt_ref, ltg_ref, key_ref):
+        wiota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+        payloads = []
+        for c in range(C):
+            key = raw_ref[0, c].astype(jnp.int32)  # (rows, W); item at its lane
+            m2 = key > 2 * W
+            m1 = key > 4 * W
+            rank = jax.lax.dot_general(
+                m2.astype(jnp.bfloat16),
+                lt_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            keep = m2 & (rank <= compact)
+            dbits = (W - 1).bit_length()
+            work = jnp.where(
+                keep,
+                ((((c * W + wiota) << 2) | (m1.astype(jnp.int32) << 1) | 1) << dbits)
+                | (wiota - (rank - 1)),
+                0,
+            )
+            s = 1
+            while s < W:
+                w_in = pltpu.roll(work, W - s, axis=1)
+                move_in = ((w_in & s) != 0) & (wiota < W - s)
+                stay = (work & s) == 0
+                work = jnp.where(move_in, w_in - s, jnp.where(stay, work, 0))
+                s *= 2
+            payloads.append(work[:, :compact] >> dbits)
+        pay = jnp.concatenate(payloads, axis=1)  # (rows, k2)
+        valid = (pay & 1) == 1
+        grank = jax.lax.dot_general(
+            valid.astype(jnp.bfloat16),
+            ltg_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        giota = jax.lax.broadcasted_iota(jnp.int32, (rows, k2), 1)
+        gbits = (k2 - 1).bit_length()
+        gwork = jnp.where(valid, (pay << gbits) | (giota - (grank - 1)), 0)
+        s = 1
+        while s < k2:
+            w_in = pltpu.roll(gwork, k2 - s, axis=1)
+            move_in = ((w_in & s) != 0) & (giota < k2 - s)
+            stay = (gwork & s) == 0
+            gwork = jnp.where(move_in, w_in - s, jnp.where(stay, gwork, 0))
+            s *= 2
+        key_ref[0] = (gwork >> gbits).astype(jnp.int16)
+
+    lt = jnp.asarray(np.tril(np.ones((W, W), np.float32)).T, jnp.bfloat16)
+    ltg = jnp.asarray(np.tril(np.ones((k2, k2), np.float32)).T, jnp.bfloat16)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // rows),
+        in_specs=[
+            pl.BlockSpec((1, C, rows, W), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2, k2), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, k2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, k2), jnp.int16),
+        interpret=interpret,
+    )(raw_keys, lt, ltg)
+
+
 def _first_k_budget_select(
     r1: float,
     k1: int,
@@ -471,14 +565,32 @@ def _first_k_budget_select(
         fused_keys = jax.devices()[0].platform == "tpu" and N % 256 == 0
 
     if fused_keys:
-        # ONE VMEM pass produces compacted hit slots + counts + first-hit
-        # mins; neither the (B, N, N) distance matrix nor the sort keys
-        # ever touch HBM, and the XLA budget sort (~9 ms/batch) disappears
-        # (see _first_k_keys_pallas compact mode)
-        sel, ccnt, aux = _first_k_keys_pallas(
-            r1, r2, pts, pts_p, perm, C, interpret=interpret, compact=budget,
-            global_compact=global_compact,
+        # VMEM key production: neither the (B, N, N) distance matrix nor
+        # the sort keys ever touch HBM for the sort, and the XLA budget
+        # sort (~9 ms/batch) disappears (see _first_k_keys_pallas).
+        # The GLOBAL-compact path runs SPLIT by default: raw keys kernel ->
+        # HBM hop -> dedicated compaction kernel — the fused form's d2/mask
+        # pipeline and the serial shift chains de-optimize each other in
+        # one kernel (compaction measured ~5.5 ms fused vs ~1 ms isolated,
+        # benchmarks/profile_compact_micro.py; the same in-context pathology
+        # the PE-v5 split fixed). UNOPOSE_KEYS_SPLIT=0 restores the fused
+        # single-kernel form.
+        import os as _os
+
+        use_split = (
+            global_compact and _os.environ.get("UNOPOSE_KEYS_SPLIT", "1") == "1"
         )
+        if use_split:
+            raw, ccnt, aux = _first_k_keys_pallas(
+                r1, r2, pts, pts_p, perm, C, interpret=interpret, compact=0,
+                global_compact=False,
+            )
+            sel = _compact_stage_pallas(raw, budget, interpret=interpret)
+        else:
+            sel, ccnt, aux = _first_k_keys_pallas(
+                r1, r2, pts, pts_p, perm, C, interpret=interpret, compact=budget,
+                global_compact=global_compact,
+            )
         total2 = jnp.sum(ccnt, axis=-1)  # (B, N)
         cnt1 = aux[..., 0]
         first2_orig = aux[..., 1]
