@@ -183,8 +183,12 @@ def _first_k_keys_pallas(
     interpret: bool = False,
     compact: int = 0,
     global_compact: bool = False,
+    mask8: bool = False,
 ):
     """Fused production of the chunked first_k sort keys + counts in VMEM.
+    ``mask8`` (raw mode only): emit 2-bit membership masks as int8
+    (m2 | m1 << 1) instead of the full int16 sort-key encoding — half the
+    HBM hop for the split compaction pipeline, which only needs the bits.
 
     The XLA formulation of ``two_scale_group_first_k_fast`` materializes the
     (B, N, N) distance matrix in HBM (268 MB at the operating point) and
@@ -335,6 +339,10 @@ def _first_k_keys_pallas(
                     payloads.append(work[:, :compact] >> dbits)
                 else:
                     key_ref[0, c] = (work[:, :compact] >> dbits).astype(jnp.int16)
+            elif mask8:
+                key_ref[0, c] = (
+                    m2.astype(jnp.int32) + 2 * m1.astype(jnp.int32)
+                ).astype(jnp.int8)
             else:
                 key = W - wiota + jnp.where(m2, 2 * W, 0) + jnp.where(m1, 4 * W, 0)
                 key_ref[0, c] = key.astype(jnp.int16)
@@ -405,7 +413,7 @@ def _first_k_keys_pallas(
             key_shape = jax.ShapeDtypeStruct((B, C, N, compact), jnp.int16)
     else:
         key_spec = pl.BlockSpec((1, C, rows, W), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM)
-        key_shape = jax.ShapeDtypeStruct((B, C, N, W), jnp.int16)
+        key_shape = jax.ShapeDtypeStruct((B, C, N, W), jnp.int8 if mask8 else jnp.int16)
     outs = pl.pallas_call(
         functools.partial(kernel),
         grid=grid,
@@ -453,14 +461,20 @@ def _compact_stage_pallas(
     B, C, N, W = raw_keys.shape
     k2 = C * compact
     assert N % rows == 0
+    is_mask8 = raw_keys.dtype == jnp.int8
 
     def kernel(raw_ref, lt_ref, ltg_ref, key_ref):
         wiota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
         payloads = []
         for c in range(C):
             key = raw_ref[0, c].astype(jnp.int32)  # (rows, W); item at its lane
-            m2 = key > 2 * W
-            m1 = key > 4 * W
+            if is_mask8:
+                m1 = key >= 2
+                m2 = (key - 2 * m1.astype(jnp.int32)) == 1
+                m2 = m2 | m1
+            else:
+                m2 = key > 2 * W
+                m1 = key > 4 * W
             rank = jax.lax.dot_general(
                 m2.astype(jnp.bfloat16),
                 lt_ref[...],
@@ -583,7 +597,7 @@ def _first_k_budget_select(
         if use_split:
             raw, ccnt, aux = _first_k_keys_pallas(
                 r1, r2, pts, pts_p, perm, C, interpret=interpret, compact=0,
-                global_compact=False,
+                global_compact=False, mask8=True,
             )
             sel = _compact_stage_pallas(raw, budget, interpret=interpret)
         else:
