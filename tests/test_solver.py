@@ -152,3 +152,29 @@ def test_hypothesis_select_kernel_matches_xla(rng):
     assert np.median(rel) < 3e-3, np.median(rel)
     assert rel.max() < 2e-2, rel.max()
     assert (want.argmax(1) == got.argmax(1)).all()
+
+
+def test_hypothesis_select_v2_matches_xla(rng):
+    """The batched tile variant (ops/hyp_select2.py, interpret mode) matches
+    the XLA selection pass to x3-cross-term tolerance (max rel ~3e-5)."""
+    from unopose_tpu.ops.geometry import pairwise_sqdist
+    from unopose_tpu.ops.hyp_select2 import hypothesis_select_scores_v2
+    from unopose_tpu.ops.pose_utils import quat2mat
+
+    B, N1, N2, P2 = 2, 196, 196, 300
+    pts1 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, N1, 3)).astype(np.float32))
+    model = jnp.asarray(rng.uniform(-0.5, 0.5, (B, N2, 3)).astype(np.float32))
+    q = rng.standard_normal((B, P2, 4))
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    rs = quat2mat(jnp.asarray(q.astype(np.float32)))
+    ts = jnp.asarray(rng.uniform(-0.2, 0.2, (B, P2, 3)).astype(np.float32))
+    w1 = jnp.asarray((rng.random((B, N1)) < 0.7).astype(np.float32))
+
+    tp = jnp.matmul(pts1[:, None] - ts[:, :, None, :], rs)
+    d2 = pairwise_sqdist(tp, model[:, None])
+    d = jnp.sqrt(jnp.maximum(jnp.min(d2, -1), 0.0))
+    want = np.asarray(jnp.sum(w1, 1)[:, None] / (jnp.sum(d * w1[:, None], 2) + 1e-8))
+    got = np.asarray(hypothesis_select_scores_v2(pts1, model, rs, ts, w1, interpret=True))
+    rel = np.abs(want - got) / (np.abs(want) + 1e-9)
+    assert rel.max() < 1e-3, rel.max()
+    assert (want.argmax(1) == got.argmax(1)).all()

@@ -225,7 +225,17 @@ def compute_coarse_Rt_overlap(
         d = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))  # (B, p, N1)
         return jnp.sum(w1, axis=1)[:, None] / (jnp.sum(d * w1[:, None], axis=2) + 1e-8)
 
-    if selection_chunks > 1 and B * n_proposal2 * N1 * N2 > 300_000_000:
+    import os as _os
+
+    if (
+        jax.default_backend() == "tpu"
+        and _os.environ.get("UNOPOSE_HYPSEL_V2", "0") == "1"
+    ):
+        # batched fused selection tile kernel (ops/hyp_select2.py)
+        from unopose_tpu.ops.hyp_select2 import hypothesis_select_scores_v2
+
+        scores = hypothesis_select_scores_v2(pts1, model_pts, rs, ts[:, :, 0, :], w1)
+    elif selection_chunks > 1 and B * n_proposal2 * N1 * N2 > 300_000_000:
         chunk = -(-n_proposal2 // selection_chunks)
         scores = jnp.concatenate(
             [_sel_scores(rs[:, i : i + chunk], ts[:, i : i + chunk]) for i in range(0, n_proposal2, chunk)],
