@@ -170,3 +170,74 @@ def test_pe_train_grads_bf16_distribution(rng):
         assert np.median(err) < 6e-2, (name, np.median(err))
         assert np.quantile(err, 0.95) < 0.15, (name, np.quantile(err, 0.95))
         assert err.max() < 0.5, (name, err.max())
+
+
+class _RefStackFrozen(nn.Module):
+    """XLA formulation with FROZEN BN (use_running_average=True in train)."""
+
+    @nn.compact
+    def __call__(self, chans):
+        h = chans
+        for i, d in enumerate(DIMS):
+            W = self.param(f"fc{i}", nn.initializers.he_normal(), (h.shape[1], d))
+            h = jnp.einsum("bcps,cd->bdps", h.astype(jnp.float32), W)
+            h = nn.BatchNorm(
+                use_running_average=True, momentum=0.9, epsilon=1e-5, axis=1,
+                dtype=jnp.float32, name=f"bn{i}",
+            )(h)
+            h = nn.relu(h)
+        return jnp.max(h, axis=3)
+
+
+def test_pe_train_frozen_grads_exact_fp32(rng):
+    """Frozen-BN fast-train variant: with fp32 contractions the custom VJP
+    must reproduce jax autodiff of the frozen-BN flax formulation to float
+    rounding (1 fwd + 1 bwd kernel pass instead of the exact path's 8)."""
+    import unopose_tpu.ops.pe_train as pt
+    from unopose_tpu.ops.pe_train import pe_mlp_bn_pool_frozen
+
+    chans = jnp.asarray(rng.standard_normal((2, 6, 64, 64)).astype(np.float32))
+    ref = _RefStackFrozen()
+    variables = ref.init(jax.random.PRNGKey(0), chans)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.3 * jnp.asarray(rng.standard_normal(x.shape), x.dtype), variables["params"]
+    )
+    stats = jax.tree_util.tree_map(
+        lambda x: x + 0.2 * jnp.abs(jnp.asarray(rng.standard_normal(x.shape), x.dtype)),
+        variables["batch_stats"],
+    )
+    Ws = [params[f"fc{i}"] for i in range(3)]
+    gammas = [params[f"bn{i}"]["scale"] for i in range(3)]
+    betas = [params[f"bn{i}"]["bias"] for i in range(3)]
+    means = [stats[f"bn{i}"]["mean"] for i in range(3)]
+    vars_ = [stats[f"bn{i}"]["var"] for i in range(3)]
+    R = jnp.asarray(rng.standard_normal((2, DIMS[-1], 64)).astype(np.float32))
+
+    def loss_ref(params):
+        out = ref.apply({"params": params, "batch_stats": stats}, chans)
+        return jnp.sum(out * R)
+
+    g_ref = jax.grad(loss_ref)(params)
+
+    old = pt._MM_DTYPE
+    try:
+        pt._MM_DTYPE = jnp.float32
+
+        def loss_fused(Ws, gammas, betas):
+            pooled = pe_mlp_bn_pool_frozen(chans, Ws, gammas, betas, means, vars_, interpret=True)
+            out = jnp.swapaxes(pooled[..., : DIMS[-1]], 1, 2)
+            return jnp.sum(out * R)
+
+        val_f = loss_fused(Ws, gammas, betas)
+        assert np.isclose(float(val_f), float(loss_ref(params)), rtol=1e-5)
+        gW, gG, gB = jax.grad(loss_fused, argnums=(0, 1, 2))(Ws, gammas, betas)
+    finally:
+        pt._MM_DTYPE = old
+    for i in range(3):
+        for name, got, want in (
+            (f"W{i}", gW[i], g_ref[f"fc{i}"]),
+            (f"gamma{i}", gG[i], g_ref[f"bn{i}"]["scale"]),
+            (f"beta{i}", gB[i], g_ref[f"bn{i}"]["bias"]),
+        ):
+            err = np.abs(np.asarray(got) - np.asarray(want)) / (np.abs(np.asarray(want)).max() + 1e-6)
+            assert err.max() < 1e-4, (name, err.max())

@@ -445,14 +445,42 @@ class FinePositionalEncoding(nn.Module):
         h = jnp.stack(chans, axis=1).astype(cdt)  # (B, C, P, S)
 
         on_tpu = jax.default_backend() == "tpu"
-        use_fused_train = (
+        train_shapes_ok = (
             train
             and self.use_bn
             and mask is None
             and tuple(mlp_dims) == (32, 64, 128)
             and h.shape[1] == 6
             and h.shape[2] % 32 == 0
-            and (self.fused is True or os.environ.get("UNOPOSE_PE_TRAIN_FUSED") == "1")
+        )
+        if train_shapes_ok and os.environ.get("UNOPOSE_PE_TRAIN_FROZEN") == "1":
+            # OPT-IN fast-train mode: BN normalizes with the RUNNING stats
+            # (use_running_average=True during training — a documented
+            # DEVIATION from the reference recipe, which uses batch stats).
+            # With frozen stats the BN backward has no batch-correction
+            # sums, so the whole PE stack runs as ONE fused forward kernel
+            # + ONE fused backward kernel (ops/pe_train.py frozen variant,
+            # fp32-oracle-exact grads) instead of the XLA formulation's
+            # ~99 ms backward share. Running stats are NOT updated.
+            from unopose_tpu.ops.pe_train import pe_mlp_bn_pool_frozen
+
+            Ws, gammas, betas, means, vars_ = [], [], [], [], []
+            for i, d in enumerate(mlp_dims):
+                cin = 6 if i == 0 else mlp_dims[i - 1]
+                Ws.append(self.param(f"{name}_fc{i}_kernel", nn.initializers.he_normal(), (cin, d)))
+                scale, bias, mv, vv = _BNVars(d, name=f"{name}_bn{i}")()
+                gammas.append(scale)
+                betas.append(bias)
+                means.append(mv)
+                vars_.append(vv)
+            pooled = pe_mlp_bn_pool_frozen(
+                jax.lax.stop_gradient(h.astype(jnp.float32)), Ws, gammas, betas,
+                means, vars_, interpret=not on_tpu,
+            )
+            return jnp.swapaxes(pooled[..., : mlp_dims[-1]], 1, 2)  # (B, d, P)
+
+        use_fused_train = train_shapes_ok and (
+            self.fused is True or os.environ.get("UNOPOSE_PE_TRAIN_FUSED") == "1"
         )
         if use_fused_train:
             # fused train-path MLP/BN/pool with a custom VJP

@@ -435,3 +435,187 @@ def _pe_train_bwd(eps, p_blk, interpret, res, cts):
 
 
 _pe_train_vjp.defvjp(_pe_train_fwd, _pe_train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-BN fast-train variant: BN uses RUNNING statistics (eval-form affine)
+# during training — an OPT-IN deviation from the reference recipe (which uses
+# batch statistics). With constant (mu, sigma) the BN backward loses its
+# global mean/zhat correction sums, so the whole stack needs ONE forward
+# kernel and ONE backward kernel (recompute + per-layer dz + dW/dgamma/dbeta
+# accumulation) instead of the exact path's 8 sequential passes.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_bwd_frozen(
+    chans_ref, dpool_ref,
+    w0, w1, w2, ab0, ab1, ab2, st0, st1, st2,
+    dw0_ref, dw1_ref, dw2_ref, gb0_ref, gb1_ref, gb2_ref,
+    *, cols: int, p_blk: int, s: int,
+):
+    w_refs = (w0, w1, w2)
+    ab_refs = (ab0, ab1, ab2)
+    stat_refs = (st0, st1, st2)
+    chans2d, ys, z3 = _layers_to(chans_ref, w_refs, ab_refs[:2], 3, cols)
+    a3 = ab_refs[2][0][0:1, :]
+    b3 = ab_refs[2][0][1:2, :]
+    pre3 = a3 * z3 + b3
+    y3 = jnp.maximum(pre3, 0.0)
+    dy = _pool_bwd(y3, dpool_ref, p_blk, s)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dw0_ref[...] = jnp.zeros((8, 128), jnp.float32)
+        dw1_ref[...] = jnp.zeros((32, 128), jnp.float32)
+        dw2_ref[...] = jnp.zeros((64, 128), jnp.float32)
+        gb0_ref[...] = jnp.zeros((8, 128), jnp.float32)
+        gb1_ref[...] = jnp.zeros((8, 128), jnp.float32)
+        gb2_ref[...] = jnp.zeros((8, 128), jnp.float32)
+
+    dws = (dw0_ref, dw1_ref, dw2_ref)
+    gbs = (gb0_ref, gb1_ref, gb2_ref)
+    zs = {3: z3}
+    for l in (3, 2, 1):
+        if l not in zs:
+            src = chans2d if l == 1 else ys[l - 1]
+            dims = (((0,), (0,)), ((), ())) if l == 1 else (((1,), (0,)), ((), ()))
+            zs[l] = jax.lax.dot_general(
+                src, w_refs[l - 1][...].astype(_MM_DTYPE),
+                dimension_numbers=dims, preferred_element_type=jnp.float32,
+            )
+        mu = stat_refs[l - 1][0][0:1, :]
+        inv = stat_refs[l - 1][0][1:2, :]
+        gam = stat_refs[l - 1][0][2:3, :]
+        zhat = (zs[l] - mu) * inv
+        if l == 3:
+            g = dy * (pre3 > 0.0).astype(jnp.float32)
+        else:
+            a_l = ab_refs[l - 1][0][0:1, :]
+            b_l = ab_refs[l - 1][0][1:2, :]
+            g = dy * ((a_l * zs[l] + b_l) > 0.0).astype(jnp.float32)
+        # frozen BN: dz = gamma/sigma * g, no batch-stat correction terms
+        dz = gam * inv * g
+        sg = jnp.sum(g, axis=0, keepdims=True)
+        sgz = jnp.sum(g * zhat, axis=0, keepdims=True)
+        gbs[l - 1][...] += jnp.concatenate([sg, sgz, jnp.zeros((6, 128), jnp.float32)], axis=0)
+        if l == 1:
+            dw = jax.lax.dot_general(
+                chans2d, dz.astype(_MM_DTYPE),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw0_ref[...] += jnp.concatenate([dw, jnp.zeros((2, 128), jnp.float32)], axis=0)
+        else:
+            dw = jax.lax.dot_general(
+                ys[l - 1], dz.astype(_MM_DTYPE),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dws[l - 1][...] += dw[: dws[l - 1].shape[0], :]
+            dy = jax.lax.dot_general(
+                dz.astype(_MM_DTYPE), w_refs[l - 1][...].astype(_MM_DTYPE),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def pe_mlp_bn_pool_frozen(
+    chans: jnp.ndarray,  # (B, 6, P, S) fp32 (stop-gradient)
+    Ws: Sequence[jnp.ndarray],
+    gammas: Sequence[jnp.ndarray],
+    betas: Sequence[jnp.ndarray],
+    means: Sequence[jnp.ndarray],
+    vars_: Sequence[jnp.ndarray],
+    eps: float = 1e-5,
+    p_blk: int | None = None,
+    interpret: bool = False,
+):
+    """Frozen-BN train-mode stack: BN normalizes with the RUNNING stats
+    (use_running_average=True semantics). Returns pooled (B, P, 128) f32.
+    Differentiable w.r.t. Ws/gammas/betas; no stat updates."""
+    if p_blk is None:
+        S = chans.shape[3]
+        p_blk = max(8, 4096 // S)
+        while chans.shape[2] % p_blk:
+            p_blk //= 2
+    return _pe_frozen_vjp(
+        chans, tuple(Ws), tuple(gammas), tuple(betas),
+        tuple(jnp.asarray(m) for m in means), tuple(jnp.asarray(v) for v in vars_),
+        eps, p_blk, interpret,
+    )
+
+
+def _frozen_fwd_impl(chans, Ws, gammas, betas, means, vars_, eps, p_blk, interpret):
+    B, _, P, S = chans.shape
+    Wp = [_pad128(W, 1) if W.shape[0] == 6 else _pad128(_pad128(W, 0), 1) for W in Ws]
+    abs_, stats_rows = [], []
+    for l in range(3):
+        mu = _pad128(means[l][None], 1)[0]
+        var = _pad128(vars_[l][None], 1)[0]
+        inv = 1.0 / jnp.sqrt(var + eps)
+        gam = _pad128(gammas[l][None], 1)[0]
+        bet = _pad128(betas[l][None], 1)[0]
+        abs_.append(jnp.stack([gam * inv, bet - gam * mu * inv])[None])
+        stats_rows.append(jnp.stack([mu, inv, gam])[None])
+    cols = p_blk * S
+    kern = functools.partial(_kernel_fwd, cols=cols, p_blk=p_blk, s=S)
+    extra = [(Wp[l], _full(Wp[l])) for l in range(3)] + [(abs_[l], _row_spec()) for l in range(3)]
+    pooled = _grid_call(
+        kern, chans, extra,
+        jax.ShapeDtypeStruct((B, P, 128), jnp.float32),
+        pl.BlockSpec((1, p_blk, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        p_blk, interpret,
+    )
+    return pooled, (chans, Ws, gammas, abs_, stats_rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _pe_frozen_vjp(chans, Ws, gammas, betas, means, vars_, eps, p_blk, interpret):
+    out, _ = _frozen_fwd_impl(chans, Ws, gammas, betas, means, vars_, eps, p_blk, interpret)
+    return out
+
+
+def _frozen_fwd(chans, Ws, gammas, betas, means, vars_, eps, p_blk, interpret):
+    out, res = _frozen_fwd_impl(chans, Ws, gammas, betas, means, vars_, eps, p_blk, interpret)
+    return out, res
+
+
+def _frozen_bwd(eps, p_blk, interpret, res, dpool):
+    chans, Ws, gammas, abs_, stats_rows = res
+    B, _, P, S = chans.shape
+    cols = p_blk * S
+    Wp = [_pad128(W, 1) if W.shape[0] == 6 else _pad128(_pad128(W, 0), 1) for W in Ws]
+
+    def stat_spec():
+        return pl.BlockSpec((1, 3, 128), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    dpool_spec = pl.BlockSpec((1, p_blk, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_bwd_frozen, cols=cols, p_blk=p_blk, s=S)
+    extra = (
+        [(dpool, dpool_spec)]
+        + [(Wp[l], _full(Wp[l])) for l in range(3)]
+        + [(abs_[l], _row_spec()) for l in range(3)]
+        + [(stats_rows[l], stat_spec()) for l in range(3)]
+    )
+    outs = _grid_call(
+        kern, chans, extra,
+        [
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((32, 128), jnp.float32),
+            jax.ShapeDtypeStruct((64, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        [_acc_spec(8), _acc_spec(32), _acc_spec(64), _acc_spec(8), _acc_spec(8), _acc_spec(8)],
+        p_blk, interpret,
+    )
+    dws_raw, gbs = outs[:3], outs[3:]
+    dWs = tuple(dws_raw[l][: Ws[l].shape[0], : Ws[l].shape[1]].astype(Ws[l].dtype) for l in range(3))
+    dgammas = tuple(gbs[l][1, : gammas[l].shape[0]].astype(gammas[l].dtype) for l in range(3))
+    dbetas = tuple(gbs[l][0, : gammas[l].shape[0]].astype(gammas[l].dtype) for l in range(3))
+    zeros3 = tuple(jnp.zeros_like(g) for g in gammas)
+    return (jnp.zeros_like(chans), dWs, dgammas, dbetas, zeros3, zeros3)
+
+
+_pe_frozen_vjp.defvjp(_frozen_fwd, _frozen_bwd)
